@@ -1,0 +1,289 @@
+"""Batched modular (Montgomery) arithmetic for JAX/TPU.
+
+Field elements are structure-of-arrays uint32 tensors of shape (..., 16):
+16 little-endian limbs of 16 bits each (values < 2**16 held in uint32 lanes).
+Montgomery radix is R = 2**256, matching the reference's 4x64-bit layout
+(libff/algebra/fields/fp.tcc mul_reduce), so Montgomery residues are
+bit-identical to libsnark's in-memory representation.
+
+Why 16-bit limbs: the TPU VPU has no 64-bit widening multiply; 16x16-bit
+products (< 2**32) plus a limb and a carry still fit exactly in a uint32 lane,
+which makes the CIOS inner loop carry-exact with native int32/uint32 ops
+(see SURVEY.md §7 "Hard parts").
+
+All functions are shape-polymorphic over leading batch dims and jit-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+
+U32 = jnp.uint32
+MASK = np.uint32(C.LIMB_MASK)
+N = C.N_LIMBS
+W = C.LIMB_BITS
+
+
+# ---------------------------------------------------------------------------
+# Host <-> limb conversion (numpy, not traced)
+# ---------------------------------------------------------------------------
+
+def ints_to_limbs(xs) -> np.ndarray:
+    """List/array of Python ints -> (len, 16) uint32 limb array."""
+    xs = list(xs)
+    out = np.empty((len(xs), N), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        for j in range(N):
+            out[i, j] = (x >> (W * j)) & C.LIMB_MASK
+    return out
+
+
+def limbs_to_ints(a) -> list:
+    a = np.asarray(a, dtype=np.uint64)
+    flat = a.reshape(-1, N)
+    out = []
+    for row in flat:
+        x = 0
+        for j in reversed(range(N)):
+            x = (x << W) | int(row[j])
+        out.append(x)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Field spec
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    """Static per-field constants (hashable; usable as a jit static arg)."""
+    name: str
+    modulus: int          # p as a Python int
+    inv: int              # -p^-1 mod 2^16
+    r_mod: int            # R mod p  (Montgomery one)
+    r2_mod: int           # R^2 mod p
+
+    @property
+    def p_limbs(self) -> np.ndarray:
+        return np.array(C.to_limbs(self.modulus), dtype=np.uint32)
+
+    @property
+    def one_mont(self) -> np.ndarray:
+        return np.array(C.to_limbs(self.r_mod), dtype=np.uint32)
+
+    @property
+    def r2_limbs(self) -> np.ndarray:
+        return np.array(C.to_limbs(self.r2_mod), dtype=np.uint32)
+
+    @property
+    def zero(self) -> np.ndarray:
+        return np.zeros(N, dtype=np.uint32)
+
+
+FR = FieldSpec("Fr", C.R_MOD, C.FR_INV, C.FR_R, C.FR_R2)
+FQ = FieldSpec("Fq", C.Q_MOD, C.FQ_INV, C.FQ_R, C.FQ_R2)
+
+
+def to_mont_host(spec: FieldSpec, xs) -> np.ndarray:
+    """Python ints -> Montgomery-form limb array (host-side)."""
+    return ints_to_limbs([(x % spec.modulus) * C.R_MONT % spec.modulus for x in xs])
+
+
+def from_mont_host(spec: FieldSpec, a) -> list:
+    """Montgomery-form limb array -> Python ints (host-side)."""
+    rinv = pow(C.R_MONT, -1, spec.modulus)
+    return [x * rinv % spec.modulus for x in limbs_to_ints(a)]
+
+
+# ---------------------------------------------------------------------------
+# Core kernels (jnp; unrolled CIOS)
+# ---------------------------------------------------------------------------
+
+def _split(x):
+    return x & MASK, x >> W
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_mul(spec: FieldSpec, a, b):
+    """Batched Montgomery product a*b*R^-1 mod p.
+
+    CIOS (coarsely integrated operand scanning): with 16-bit limbs every
+    intermediate `t + a_j*b_i + carry` is <= 2^32 - 1, so uint32 lanes are
+    carry-exact. Mirrors the algorithm of fp.tcc::mul_reduce, reimplemented
+    for SoA limb tensors. The outer limb loop is a lax.fori_loop to keep the
+    XLA graph small; the carry chains are unrolled.
+    """
+    q = [np.uint32(l) for l in spec.p_limbs]
+    inv = np.uint32(spec.inv)
+    zero = jnp.zeros_like(a[..., 0])
+
+    def outer(i, t):
+        # t: tuple of N+2 limb arrays
+        t = list(t)
+        bi = jax.lax.dynamic_index_in_dim(b, i, axis=-1, keepdims=False)
+        # --- multiplication step: t += a * b_i ---
+        c = zero
+        for j in range(N):
+            s = t[j] + a[..., j] * bi + c
+            t[j], c = _split(s)
+        s = t[N] + c
+        t[N], t[N + 1] = _split(s)
+
+        # --- reduction step: m = t0 * inv mod 2^W; t = (t + m*q) >> W ---
+        m = (t[0] * inv) & MASK
+        s = t[0] + m * q[0]
+        c = s >> W
+        for j in range(1, N):
+            s = t[j] + m * q[j] + c
+            t[j - 1], c = _split(s)
+        s = t[N] + c
+        t[N - 1] = s & MASK
+        t[N] = t[N + 1] + (s >> W)
+        t[N + 1] = zero
+        return tuple(t)
+
+    t = jax.lax.fori_loop(0, N, outer, tuple([zero] * (N + 2)))
+    res = jnp.stack(t[:N], axis=-1)
+    # t < 2p (CIOS bound), one conditional subtraction
+    return _cond_sub_p(spec, res, t[N])
+
+
+def _cond_sub_p(spec: FieldSpec, x, extra):
+    """Subtract p if (extra, x) >= p, where extra is a (batch,) high limb."""
+    q = spec.p_limbs
+    borrow = jnp.zeros_like(x[..., 0])
+    diff = []
+    for j in range(N):
+        s = x[..., j] - np.uint32(q[j]) - borrow
+        diff.append(s & MASK)
+        borrow = (s >> W) & np.uint32(1)  # 1 iff borrowed (wraparound)
+    diff = jnp.stack(diff, axis=-1)
+    need_sub = (extra > 0) | (borrow == 0)
+    return jnp.where(need_sub[..., None], diff, x)
+
+
+@partial(jax.jit, static_argnums=0)
+def add(spec: FieldSpec, a, b):
+    """Batched modular addition (operands canonical, result canonical)."""
+    c = jnp.zeros_like(a[..., 0])
+    s = []
+    for j in range(N):
+        t = a[..., j] + b[..., j] + c
+        s.append(t & MASK)
+        c = t >> W
+    s = jnp.stack(s, axis=-1)
+    return _cond_sub_p(spec, s, c)
+
+
+@partial(jax.jit, static_argnums=0)
+def sub(spec: FieldSpec, a, b):
+    """Batched modular subtraction."""
+    borrow = jnp.zeros_like(a[..., 0])
+    d = []
+    for j in range(N):
+        t = a[..., j] - b[..., j] - borrow
+        d.append(t & MASK)
+        borrow = (t >> W) & np.uint32(1)
+    d = jnp.stack(d, axis=-1)
+    # if borrowed, add p back
+    q = spec.p_limbs
+    c = jnp.zeros_like(borrow)
+    dp = []
+    for j in range(N):
+        t = d[..., j] + np.uint32(q[j]) + c
+        dp.append(t & MASK)
+        c = t >> W
+    dp = jnp.stack(dp, axis=-1)
+    return jnp.where((borrow == 1)[..., None], dp, d)
+
+
+@partial(jax.jit, static_argnums=0)
+def neg(spec: FieldSpec, a):
+    zero = jnp.zeros_like(a)
+    r = sub(spec, zero, a)
+    return jnp.where(is_zero(a)[..., None], zero, r)
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def to_mont(spec: FieldSpec, a):
+    r2 = jnp.asarray(spec.r2_limbs)
+    return mont_mul(spec, a, jnp.broadcast_to(r2, a.shape))
+
+
+def from_mont(spec: FieldSpec, a):
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+    return mont_mul(spec, a, one)
+
+
+def pow_fixed(spec: FieldSpec, a, e: int):
+    """a^e for a host-known exponent (left-to-right square-and-multiply,
+    rolled into a lax.scan over the exponent bits for fast compilation)."""
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape)
+    if e == 0:
+        return one
+    bits = np.array([int(bit) for bit in bin(e)[2:]], dtype=np.uint32)
+
+    def body(r, bit):
+        r = mont_sqr(spec, r)
+        r = jnp.where(bit > 0, mont_mul(spec, r, a), r)
+        return r, None
+
+    r, _ = jax.lax.scan(body, one, jnp.asarray(bits))
+    return r
+
+
+def inv(spec: FieldSpec, a):
+    """Batched inversion via Fermat: a^(p-2). (0 maps to 0.)"""
+    return pow_fixed(spec, a, spec.modulus - 2)
+
+
+def batch_inv(spec: FieldSpec, a):
+    """Montgomery batch inversion over the last batch axis.
+
+    Computes elementwise inverses with a single Fermat inversion via prefix
+    products (mirrors the role of libff's batch_to_special batch inversion,
+    multiexp.tcc). Zero entries are passed through as zero.
+    """
+    n = a.shape[0]
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape[1:] + (N,))[..., :]
+
+    az = jnp.where(is_zero(a)[..., None], jnp.asarray(spec.one_mont), a)
+
+    def scan_fwd(carry, x):
+        nxt = mont_mul(spec, carry, x)
+        return nxt, carry
+
+    total, prefix = jax.lax.scan(scan_fwd, jnp.asarray(spec.one_mont) * jnp.ones_like(a[0]), az)
+    tinv = inv(spec, total)
+
+    def scan_bwd(carry, xs):
+        x, pre = xs
+        out = mont_mul(spec, carry, pre)
+        nxt = mont_mul(spec, carry, x)
+        return nxt, out
+
+    _, invs = jax.lax.scan(scan_bwd, tinv, (az, prefix), reverse=True)
+    return jnp.where(is_zero(a)[..., None], jnp.zeros_like(a), invs)
+
+
+def select(mask, a, b):
+    """Elementwise field select: mask ? a : b. mask shape = batch shape."""
+    return jnp.where(mask[..., None], a, b)

@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated on fake CPU devices
+(xla_force_host_platform_device_count) standing in for a pod slice; real-TPU
+benchmarking happens in bench.py, not in tests.
+"""
+
+import os
+
+# The session environment pins JAX_PLATFORMS=axon (real TPU tunnel); tests
+# must override it — unit tests run on the host CPU with 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xB10C)
