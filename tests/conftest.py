@@ -9,12 +9,19 @@ import os
 
 # The session environment pins JAX_PLATFORMS=axon (real TPU tunnel); tests
 # must override it — unit tests run on the host CPU with 8 virtual devices.
+# NB: a pytest plugin imports jax before this conftest runs, so setting the
+# env var alone is not enough; update the live config as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import random
 
