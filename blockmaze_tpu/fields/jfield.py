@@ -114,45 +114,58 @@ def _split(x):
 def mont_mul(spec: FieldSpec, a, b):
     """Batched Montgomery product a*b*R^-1 mod p.
 
-    CIOS (coarsely integrated operand scanning): with 16-bit limbs every
-    intermediate `t + a_j*b_i + carry` is <= 2^32 - 1, so uint32 lanes are
-    carry-exact. Mirrors the algorithm of fp.tcc::mul_reduce, reimplemented
-    for SoA limb tensors. The outer limb loop is a lax.fori_loop to keep the
-    XLA graph small; the carry chains are unrolled.
+    Requires at least one operand canonical (< p); the other may be any
+    16-limb value < 2^256 (the bound t < p + a*b/R < 2p then holds, so one
+    conditional subtraction canonicalises).
+
+    Formulated as a flat elementwise graph (no lax loops) so XLA can fuse the
+    whole multiply into surrounding ops — crucial for both compile time and
+    VPU throughput:
+
+      1. full 16x16 limb outer product, each 16x16-bit product split lo/hi;
+      2. diagonal (convolution) sums via statically shifted adds -> 32
+         redundant limbs, each < 2^21 (safe in uint32);
+      3. 16 Montgomery reduction steps on redundant limbs: m_i only needs
+         t_i mod 2^16, so carries stay lazy (every limb < 2^22);
+      4. one carry propagation + one conditional subtraction.
     """
-    q = [np.uint32(l) for l in spec.p_limbs]
     inv = np.uint32(spec.inv)
-    zero = jnp.zeros_like(a[..., 0])
+    qv = jnp.asarray(spec.p_limbs)  # (16,)
+    batch = a.shape[:-1]
 
-    def outer(i, t):
-        # t: tuple of N+2 limb arrays
-        t = list(t)
-        bi = jax.lax.dynamic_index_in_dim(b, i, axis=-1, keepdims=False)
-        # --- multiplication step: t += a * b_i ---
-        c = zero
-        for j in range(N):
-            s = t[j] + a[..., j] * bi + c
-            t[j], c = _split(s)
-        s = t[N] + c
-        t[N], t[N + 1] = _split(s)
+    def shifted(row, k, width):
+        """Pad a (..., 16) row to (..., width) with k leading zeros."""
+        pad = [(0, 0)] * row.ndim
+        pad[-1] = (k, width - N - k)
+        return jnp.pad(row, pad)
 
-        # --- reduction step: m = t0 * inv mod 2^W; t = (t + m*q) >> W ---
-        m = (t[0] * inv) & MASK
-        s = t[0] + m * q[0]
+    # --- 1+2: limb convolution, lazily carried (33 redundant limbs) ----
+    P = a[..., :, None] * b[..., None, :]          # (..., 16, 16) exact u32
+    t = jnp.zeros(batch + (2 * N + 1,), jnp.uint32)
+    for i in range(N):
+        row = P[..., i, :]
+        t = t + shifted(row & MASK, i, 2 * N + 1)
+        t = t + shifted(row >> W, i + 1, 2 * N + 1)
+
+    # --- 3: Montgomery reduction (16 vectorized steps) -----------------
+    for i in range(N):
+        m = (t[..., i] * inv) & MASK
+        mq = m[..., None] * qv                      # (..., 16)
+        t = t + shifted(mq & MASK, i, 2 * N + 1)
+        t = t + shifted(mq >> W, i + 1, 2 * N + 1)
+        # t_i is now ≡ 0 mod 2^16: roll its upper bits into t_{i+1}
+        t = t.at[..., i + 1].add(t[..., i] >> W)
+
+    # --- 4: carry propagation over the high half -----------------------
+    res = []
+    c = jnp.zeros(batch, jnp.uint32)
+    for j in range(N, 2 * N):
+        s = t[..., j] + c
+        res.append(s & MASK)
         c = s >> W
-        for j in range(1, N):
-            s = t[j] + m * q[j] + c
-            t[j - 1], c = _split(s)
-        s = t[N] + c
-        t[N - 1] = s & MASK
-        t[N] = t[N + 1] + (s >> W)
-        t[N + 1] = zero
-        return tuple(t)
-
-    t = jax.lax.fori_loop(0, N, outer, tuple([zero] * (N + 2)))
-    res = jnp.stack(t[:N], axis=-1)
-    # t < 2p (CIOS bound), one conditional subtraction
-    return _cond_sub_p(spec, res, t[N])
+    # t < 2p < 2^255 so limb 32 plus the final carry is always zero
+    res = jnp.stack(res, axis=-1)
+    return _cond_sub_p(spec, res, c)
 
 
 def _cond_sub_p(spec: FieldSpec, x, extra):
@@ -233,6 +246,7 @@ def from_mont(spec: FieldSpec, a):
     return mont_mul(spec, a, one)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def pow_fixed(spec: FieldSpec, a, e: int):
     """a^e for a host-known exponent (left-to-right square-and-multiply,
     rolled into a lax.scan over the exponent bits for fast compilation)."""
@@ -250,6 +264,7 @@ def pow_fixed(spec: FieldSpec, a, e: int):
     return r
 
 
+@partial(jax.jit, static_argnums=0)
 def inv(spec: FieldSpec, a):
     """Batched inversion via Fermat: a^(p-2). (0 maps to 0.)"""
     return pow_fixed(spec, a, spec.modulus - 2)
@@ -287,3 +302,27 @@ def batch_inv(spec: FieldSpec, a):
 def select(mask, a, b):
     """Elementwise field select: mask ? a : b. mask shape = batch shape."""
     return jnp.where(mask[..., None], a, b)
+
+
+@partial(jax.jit, static_argnums=0)
+def canon_wide(spec: FieldSpec, wide):
+    """Reduce a lazily-accumulated limb tensor to canonical form.
+
+    `wide` holds sums of up to 2^16 canonical 16-bit limbs per lane (uint32,
+    values < 2^32): the result of e.g. jax.ops.segment_sum over Montgomery
+    residues. Split limbs as lo + 2^16*hi and fold each through one Montgomery
+    product with a constant < p (so the CIOS 2p bound holds):
+        lo * (R mod p) * R^-1 = lo mod p
+        hi * (2^16 R mod p) * R^-1 = hi * 2^16 mod p
+    This turns unbounded-fan-in field addition into plain integer segment_sum
+    + one constant-time normalisation — the TPU-friendly shape.
+    """
+    lo = wide & MASK
+    hi = wide >> W
+    one_r = jnp.asarray(spec.one_mont)
+    c16 = jnp.asarray(
+        np.array(C.to_limbs((1 << W) * spec.r_mod % spec.modulus),
+                 dtype=np.uint32))
+    lo_m = mont_mul(spec, lo, jnp.broadcast_to(one_r, lo.shape))
+    hi_m = mont_mul(spec, hi, jnp.broadcast_to(c16, hi.shape))
+    return add(spec, lo_m, hi_m)

@@ -1,0 +1,68 @@
+"""R1CS -> QAP witness map on device (JAX).
+
+Mirrors r1cs_to_qap_witness_map (r1cs_to_qap.tcc:218-311) with d1=d2=d3=0
+(the only call configuration the Groth16 prover uses,
+r1cs_gg_ppzksnark.tcc:402):
+
+  aA/aB/aC evaluations on S  : sparse COO matvec = gather·mul + integer
+                               segment_sum over limbs + lazy normalisation
+                               (no atomics, no data-dependent shapes)
+  aA extra rows              : aA[ncons + i] = witness_i for i <= num_inputs
+                               (the "input consistency" constraints)
+  polynomial pipeline        : iFFT -> cosetFFT -> pointwise -> divide_by_Z
+                               -> icosetFFT (ntt/jntt.py kernels)
+
+Returns the m H-coefficients; the prover consumes the first m-1
+(H has degree m-2, r1cs_gg_ppzksnark.tcc:404-408).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import jfield as jf
+from ..ntt import jntt
+
+FR = jf.FR
+
+
+def sparse_matvec(row, var, coeff, witness_mont, m: int):
+    """y[r] = Σ coeff_t * witness[var_t] over terms with row_t == r.
+
+    witness_mont: (nvars+1, 16) Montgomery (index 0 = constant ONE).
+    Output: (m, 16) Montgomery, rows >= ncons are zero."""
+    terms = jf.mont_mul(FR, jnp.take(witness_mont, var, axis=0), coeff)
+    wide = jax.ops.segment_sum(terms, row, num_segments=m)
+    return jf.canon_wide(FR, wide)
+
+
+def qap_h(domain, dpk, witness_mont):
+    """Compute H coefficients for a DevicePK and a full witness tensor."""
+    m = domain.m
+    ncons = dpk.num_constraints
+    n_inp = dpk.primary_input_size
+
+    aA = sparse_matvec(jnp.asarray(dpk.a_row), jnp.asarray(dpk.a_var),
+                       jnp.asarray(dpk.a_coeff), witness_mont, m)
+    aB = sparse_matvec(jnp.asarray(dpk.b_row), jnp.asarray(dpk.b_var),
+                       jnp.asarray(dpk.b_coeff), witness_mont, m)
+    # input consistency rows
+    rows = jnp.arange(ncons, ncons + n_inp + 1)
+    aA = aA.at[rows].set(witness_mont[: n_inp + 1])
+
+    aA = jntt.ifft(domain, aA)
+    aB = jntt.ifft(domain, aB)
+    aA = jntt.coset_fft(domain, aA)
+    aB = jntt.coset_fft(domain, aB)
+    H = jf.mont_mul(FR, aA, aB)
+
+    aC = sparse_matvec(jnp.asarray(dpk.c_row), jnp.asarray(dpk.c_var),
+                       jnp.asarray(dpk.c_coeff), witness_mont, m)
+    aC = jntt.ifft(domain, aC)
+    aC = jntt.coset_fft(domain, aC)
+
+    H = jf.sub(FR, H, aC)
+    H = jntt.divide_by_z_on_coset(domain, H)
+    H = jntt.icoset_fft(domain, H)
+    return H

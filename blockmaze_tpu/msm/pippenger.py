@@ -1,0 +1,228 @@
+"""Pippenger multi-scalar multiplication for JAX/TPU.
+
+The reference accumulates buckets with a serial scatter-add
+(multiexp.tcc:166-284). TPUs have no atomics and XLA wants static shapes, so
+bucket accumulation is reformulated sort-first (the standard throughput
+formulation used by GPU/FPGA ZK accelerators):
+
+  1. digit decomposition: every scalar contributes one c-bit digit per window;
+     (window, digit) pairs become sort keys so every bucket's items are
+     contiguous;
+  2. tiled segmented reduction: the sorted item stream is split into T
+     lane-chunks walked in lockstep by a fori_loop; each lane accumulates its
+     current run with batched mixed-adds and flushes completed buckets with a
+     conflict-free scatter (an interior bucket belongs to exactly one lane);
+  3. chunk-boundary partial sums (≤ 2T, still key-sorted) are combined with a
+     flag-based segmented-monoid associative scan and scattered into the
+     remaining buckets;
+  4. per window: a reverse associative scan of buckets gives the triangle
+     weighting Σ d·S_d = Σ_j (Σ_{d≥j} S_d); windows are folded with c
+     doublings each (Horner over 2^c).
+
+Group-op count ≈ n·⌈254/c⌉ mixed-adds + 2^c·log(2^c)·W scan adds, all
+executed as wide vector batches — the shape the VPU wants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import jcurve as jc
+from ..fields import jfield as jf
+
+SCALAR_BITS = 254
+
+
+def _digits_for_window(limbs, w: int, c: int):
+    """Extract c-bit digit at bit offset w*c from (n,16) uint32 16-bit limbs."""
+    p = w * c
+    li = p // 16
+    off = p % 16
+    lo = limbs[:, li].astype(jnp.uint32)
+    hi = limbs[:, li + 1].astype(jnp.uint32) if li + 1 < 16 else jnp.zeros_like(lo)
+    word = lo | (hi << 16)
+    return (word >> off) & jnp.uint32((1 << c) - 1)
+
+
+def default_window(n: int) -> int:
+    """Window size tuned for the TPU formulation (bucket-scan cost grows with
+    2^c, accumulation cost with 254/c)."""
+    if n < (1 << 12):
+        return 8
+    if n < (1 << 16):
+        return 10
+    if n < (1 << 19):
+        return 12
+    return 13
+
+
+def _zeros_pts(F, curve, batch):
+    shape = (batch, 2, jf.N) if curve == "g2" else (batch, jf.N)
+    zx = jnp.zeros(shape, jnp.uint32)
+    return (zx, F.one_like(zx), jnp.zeros(shape, jnp.uint32))
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
+    """points = (X, Y, inf) affine Montgomery tensors; scalars = (n, 16)
+    uint32 standard-form (non-Montgomery) limbs. curve in {"g1", "g2"}.
+    Returns a single Jacobian point (coordinate tensors without batch dim).
+    """
+    F = jc.FqOps if curve == "g1" else jc.Fq2Ops
+    X, Y, inf = points
+    n = X.shape[0]
+    n_windows = -(-SCALAR_BITS // c)
+    n_buckets = 1 << c
+    total_buckets = n_windows * n_buckets
+    DROP = jnp.uint32(total_buckets)  # out-of-range -> dropped by scatter
+
+    # ---- 1. keys -------------------------------------------------------
+    digits = jnp.stack([_digits_for_window(scalars, w, c)
+                        for w in range(n_windows)])        # (W, n)
+    win_base = (jnp.arange(n_windows, dtype=jnp.uint32) * n_buckets)[:, None]
+    keys = (digits + win_base).reshape(-1)                 # (W*n,)
+    # zero digits and infinity points contribute nothing: send them to DROP
+    dead = (digits.reshape(-1) == 0) | jnp.tile(inf, n_windows)
+    keys = jnp.where(dead, DROP, keys)
+
+    total = n_windows * n
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    spid = (order % n).astype(jnp.int32)
+
+    # ---- 2. tiled segmented reduction ---------------------------------
+    T = min(lanes, total)
+    L = -(-total // T)
+    pad = T * L - total
+    skeys = jnp.concatenate([skeys, jnp.full((pad,), DROP, jnp.uint32)])
+    spid = jnp.concatenate([spid, jnp.zeros((pad,), jnp.int32)])
+    skeys = skeys.reshape(T, L)
+    spid = spid.reshape(T, L)
+
+    buckets = _zeros_pts(F, curve, total_buckets)
+    acc = _zeros_pts(F, curve, T)
+    head_sum = _zeros_pts(F, curve, T)
+    init_key = skeys[:, 0]
+    head_key = jnp.full((T,), DROP, jnp.uint32)
+    seen_change = jnp.zeros((T,), bool)
+
+    def body(s, state):
+        buckets, acc, cur_key, head_key, head_sum, seen_change = state
+        k = skeys[:, s]
+        pid = spid[:, s]
+        px = jnp.take(X, pid, axis=0)
+        py = jnp.take(Y, pid, axis=0)
+        pinf = jnp.take(inf, pid, axis=0) | (k == DROP)
+
+        is_new = k != cur_key
+        flush = is_new & seen_change & (cur_key < DROP)
+        widx = jnp.where(flush, cur_key, DROP).astype(jnp.int32)
+        buckets = tuple(b.at[widx].set(a, mode="drop")
+                        for b, a in zip(buckets, acc))
+
+        new_head = is_new & ~seen_change
+        head_key = jnp.where(new_head, cur_key, head_key)
+        head_sum = tuple(F.select(new_head, a, h)
+                         for a, h in zip(acc, head_sum))
+        seen_change = seen_change | is_new
+
+        zero = _zeros_pts(F, curve, T)
+        acc = tuple(F.select(is_new, z, a) for z, a in zip(zero, acc))
+        acc = jc.point_mixed_add(F, acc, px, py, pinf)
+        return (buckets, acc, k, head_key, head_sum, seen_change)
+
+    state = (buckets, acc, init_key, head_key, head_sum, seen_change)
+    buckets, acc, cur_key, head_key, head_sum, seen_change = jax.lax.fori_loop(
+        0, L, body, state)
+
+    # ---- 3. boundary combine ------------------------------------------
+    # per lane, in key-sorted order: (head_key, head_sum) then
+    # (tail_key = cur_key, tail_sum = acc). Lanes with a single run emit an
+    # identity head carrying the tail key so equal keys stay contiguous.
+    head_key = jnp.where(seen_change, head_key, cur_key)
+    ident = _zeros_pts(F, curve, T)
+    head_sum = tuple(F.select(seen_change, h, i)
+                     for h, i in zip(head_sum, ident))
+
+    bkeys = jnp.stack([head_key, cur_key], axis=1).reshape(-1)      # (2T,)
+    bpts = tuple(jnp.stack([h, a], axis=1).reshape((-1,) + h.shape[1:])
+                 for h, a in zip(head_sum, acc))
+    # flag-based segmented inclusive scan, Hillis-Steele over a fori_loop so
+    # point_add is instantiated ONCE in the graph (associative_scan would
+    # inline the combine ~2·log(n) times and blow up compile time)
+    flags = jnp.concatenate([jnp.array([True]), bkeys[1:] != bkeys[:-1]])
+    nb = bkeys.shape[0]
+    steps = max(1, (nb - 1).bit_length())
+    pos = jnp.arange(nb)
+
+    def seg_body(i, state):
+        pts, fl = state
+        shift = jnp.left_shift(jnp.int32(1), i)
+        prev = tuple(jnp.roll(p, shift, axis=0) for p in pts)
+        prev_fl = jnp.roll(fl, shift, axis=0)
+        valid = pos >= shift
+        s = jc.point_add(F, prev, pts)
+        take = valid & ~fl  # no segment start in (j-shift, j]
+        pts = tuple(F.select(take, sv, pv) for sv, pv in zip(s, pts))
+        fl = fl | (valid & prev_fl)
+        return (pts, fl)
+
+    (bpts, _) = jax.lax.fori_loop(0, steps, seg_body, (bpts, flags))
+    run_end = jnp.concatenate([bkeys[:-1] != bkeys[1:], jnp.array([True])])
+    widx = jnp.where(run_end & (bkeys < DROP), bkeys, DROP).astype(jnp.int32)
+    buckets = tuple(b.at[widx].set(v, mode="drop")
+                    for b, v in zip(buckets, bpts))
+
+    # ---- 4. triangle + window fold ------------------------------------
+    bw = tuple(b.reshape((n_windows, n_buckets) + b.shape[1:])[:, 1:]
+               for b in buckets)  # drop bucket 0 (weight 0)
+    B1 = n_buckets - 1
+    bpos = jnp.arange(B1)
+
+    # suffix sums R_j = Σ_{d>=j} S_d (reverse Hillis-Steele, 1 add instance)
+    def suf_body(i, pts):
+        shift = jnp.left_shift(jnp.int32(1), i)
+        nxt = tuple(jnp.roll(p, -shift, axis=1) for p in pts)
+        s = jc.point_add(F, pts, nxt)
+        take = bpos < (B1 - shift)
+        return tuple(F.select(take[None, :], sv, pv)
+                     for sv, pv in zip(s, pts))
+
+    suf = jax.lax.fori_loop(0, max(1, (B1 - 1).bit_length()), suf_body, bw)
+
+    # window sum Σ_j R_j (forward inclusive Hillis-Steele, 1 add instance)
+    def sum_body(i, pts):
+        shift = jnp.left_shift(jnp.int32(1), i)
+        prev = tuple(jnp.roll(p, shift, axis=1) for p in pts)
+        s = jc.point_add(F, prev, pts)
+        take = bpos >= shift
+        return tuple(F.select(take[None, :], sv, pv)
+                     for sv, pv in zip(s, pts))
+
+    tot = jax.lax.fori_loop(0, max(1, (B1 - 1).bit_length()), sum_body, suf)
+    win = tuple(p[:, -1] for p in tot)  # (W, ...) one point per window
+
+    # Horner fold over windows, highest first (rolled loops: the unrolled
+    # version costs ~250 point ops of traced graph and minutes of compile)
+    def fold_body(w, res):
+        res = jax.lax.fori_loop(0, c, lambda _, P: jc.point_double(F, P), res)
+        idx = n_windows - 1 - w
+        Q = tuple(jnp.take(x, idx, axis=0) for x in win)
+        return jc.point_add(F, res, Q)
+
+    res = tuple(x[n_windows - 1] for x in win)
+    res = jax.lax.fori_loop(1, n_windows, fold_body, res)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Host-side scalar conversion
+# ---------------------------------------------------------------------------
+
+def scalars_to_device(values) -> np.ndarray:
+    """Python ints (standard form, < r) -> (n, 16) uint32 limbs."""
+    return jf.ints_to_limbs(values)

@@ -1,0 +1,70 @@
+"""MSM tests vs host-int oracle, exercising window/lane tiling edge cases."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blockmaze_tpu.curves import host_curve as HC
+from blockmaze_tpu.curves import jcurve as JC
+from blockmaze_tpu.fields.constants import R_MOD
+from blockmaze_tpu.msm import pippenger as pp
+
+
+def host_msm_g1(points, scalars):
+    acc = HC.G1_ZERO
+    for p, k in zip(points, scalars):
+        acc = HC.g1_add(acc, HC.g1_mul(p, k))
+    return acc
+
+
+def host_msm_g2(points, scalars):
+    acc = HC.G2_ZERO
+    for p, k in zip(points, scalars):
+        acc = HC.g2_add(acc, HC.g2_mul(p, k))
+    return acc
+
+
+def make_g1(rng, n):
+    g = HC.g1_generator()
+    return [HC.g1_mul(g, rng.randrange(1, R_MOD)) for _ in range(n)]
+
+
+@pytest.mark.parametrize("n,c,lanes", [(13, 8, 4), (64, 8, 16), (33, 13, 8)])
+def test_msm_g1(rng, n, c, lanes):
+    pts = make_g1(rng, n)
+    pts[2] = HC.G1_ZERO  # infinity base point
+    scalars = [rng.randrange(R_MOD) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[3] = R_MOD - 1
+    X, Y, inf = JC.g1_affine_to_device(pts)
+    res = pp.msm("g1", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=c, lanes=lanes)
+    got = JC.g1_jacobian_to_host(tuple(r[None] for r in res))[0]
+    assert got == host_msm_g1(pts, scalars)
+
+
+def test_msm_g1_all_same_bucket(rng):
+    """Every scalar equal -> single giant segment spanning many lanes."""
+    n = 32
+    pts = make_g1(rng, n)
+    scalars = [5] * n
+    X, Y, inf = JC.g1_affine_to_device(pts)
+    res = pp.msm("g1", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=8)
+    got = JC.g1_jacobian_to_host(tuple(r[None] for r in res))[0]
+    assert got == host_msm_g1(pts, scalars)
+
+
+def test_msm_g2(rng):
+    n = 16
+    g = HC.g2_generator()
+    pts = [HC.g2_mul(g, rng.randrange(1, R_MOD)) for _ in range(n)]
+    pts[5] = HC.G2_ZERO
+    scalars = [rng.randrange(R_MOD) for _ in range(n)]
+    scalars[1] = 0
+    X, Y, inf = JC.g2_affine_to_device(pts)
+    res = pp.msm("g2", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=10, lanes=8)
+    got = JC.g2_jacobian_to_host(tuple(r[None] for r in res))[0]
+    assert got == host_msm_g2(pts, scalars)
