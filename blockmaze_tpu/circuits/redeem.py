@@ -1,12 +1,12 @@
-"""Mint circuit: exact replica of src/mint/circuit/ (gadget.tcc, note.tcc,
-add_cmp.tcc, commitment.tcc) with identical variable-allocation and
-constraint order, so witnesses line up with the reference proving key.
+"""Redeem circuit: exact replica of src/redeem/circuit/ (gadget.tcc,
+note.tcc, sub_cmp.tcc).
 
-Proves, for public (cmtA_old, sn_old, cmtA, value_s):
+Mirror of mint with subtraction: proves, for public
+(cmtA_old, sn_old, cmtA, value_s):
     cmtA_old = SHA256(value_old || sn_old || r_old)
-    sn       = SHA256(sk || r)                      (PRF)
+    sn       = SHA256(sk || r)
     cmtA     = SHA256(value || sn || r)
-    value    = value_old + value_s
+    value    = value_old - value_s   and   value_s <= value_old
 """
 
 from __future__ import annotations
@@ -22,16 +22,19 @@ from ..r1cs.protoboard import (
     generate_equals_const_constraint,
 )
 from ..r1cs.gadgets.basic import DigestVariable, MultipackingGadget
-from .common import Sha256CmtaGadget, Sha256PrfGadget
+from .common import LessComparisonGadget, Sha256CmtaGadget, Sha256PrfGadget
+from .mint import pack_bits
 
 
 class NoteGadgetWithPacking:
-    """mint/circuit/note.tcc:6-88."""
+    """redeem/circuit/note.tcc:6-98 (carries sn and sn_old too)."""
 
-    def __init__(self, pb: Protoboard, value, value_old, value_s, sk, r, r_old):
+    def __init__(self, pb: Protoboard, value, value_old, value_s,
+                 sk, r, r_old, sn, sn_old):
         self.pb = pb
         self.value, self.value_old, self.value_s = value, value_old, value_s
         self.sk, self.r, self.r_old = sk, r, r_old
+        self.sn, self.sn_old = sn, sn_old
         self.value_packed = pb.allocate()
         self.value_old_packed = pb.allocate()
         self.value_s_packed = pb.allocate()
@@ -43,10 +46,11 @@ class NoteGadgetWithPacking:
         self.sk.generate_constraints()
         self.r.generate_constraints()
         self.r_old.generate_constraints()
+        self.sn.generate_constraints()
+        self.sn_old.generate_constraints()
 
     def _fill_u64(self, arr, v):
-        bits = NT.uint64_to_bits(v)
-        for var, bit in zip(arr, bits):
+        for var, bit in zip(arr, NT.uint64_to_bits(v)):
             self.pb.setval(var, bit)
 
     def generate_witness(self, note_old: NT.Note, note: NT.Note, v_s: int,
@@ -60,23 +64,35 @@ class NoteGadgetWithPacking:
         self.sk.fill_with_bits(NT.bytes_to_bits(sk_data))
         self.r.fill_with_bits(NT.bytes_to_bits(note.r))
         self.r_old.fill_with_bits(NT.bytes_to_bits(note_old.r))
+        self.sn.fill_with_bits(NT.bytes_to_bits(note.sn))
+        self.sn_old.fill_with_bits(NT.bytes_to_bits(note_old.sn))
 
 
-class NoteGadgetWithComparisonAndAdditionForBalance(NoteGadgetWithPacking):
-    """mint/circuit/add_cmp.tcc:9-35: adds 1*(value_old+value_s) = value."""
+class NoteGadgetWithComparisonAndSubtractionForValueOld(NoteGadgetWithPacking):
+    """redeem/circuit/sub_cmp.tcc:9-45."""
+
+    def __init__(self, pb, value, value_old, value_s, sk, r, r_old, sn, sn_old):
+        super().__init__(pb, value, value_old, value_s, sk, r, r_old, sn, sn_old)
+        self.less_cmp = LessComparisonGadget(
+            pb, self.value_s_packed, self.value_old_packed)
 
     def generate_constraints(self):
         super().generate_constraints()
         self.pb.add_constraint(
             LC.of(1),
-            LC.var(self.value_old_packed) + LC.var(self.value_s_packed),
+            LC.var(self.value_old_packed) - LC.var(self.value_s_packed),
             LC.var(self.value_packed))
+        self.less_cmp.generate_constraints()
+
+    def generate_witness(self, note_old, note, v_s, sk_data):
+        super().generate_witness(note_old, note, v_s, sk_data)
+        self.less_cmp.generate_witness()
 
 
-class MintGadget:
-    """src/mint/circuit/gadget.tcc:23-304."""
+class RedeemGadget:
+    """src/redeem/circuit/gadget.tcc:23+."""
 
-    PACKED_INPUTS = 4  # ceil(832 / 253)
+    PACKED_INPUTS = 4
 
     def __init__(self, pb: Protoboard):
         self.pb = pb
@@ -101,9 +117,9 @@ class MintGadget:
         self.r_old = DigestVariable(pb, 256)
         self.sn = DigestVariable(pb, 256)
 
-        self.ncab = NoteGadgetWithComparisonAndAdditionForBalance(
+        self.ncsv = NoteGadgetWithComparisonAndSubtractionForValueOld(
             pb, self.value, self.value_old, self.value_s,
-            self.sk, self.r, self.r_old)
+            self.sk, self.r, self.r_old, self.sn, self.sn_old)
 
         self.prf_to_inputs_sn = Sha256PrfGadget(
             pb, self.ZERO, self.sk.bits, self.r.bits, self.sn)
@@ -127,7 +143,7 @@ class MintGadget:
 
     def generate_constraints(self):
         self.unpacker.generate_constraints(True)
-        self.ncab.generate_constraints()
+        self.ncsv.generate_constraints()
         generate_equals_const_constraint(self.pb, self.ZERO, 0)
         self.sn.generate_constraints()
         self.prf_to_inputs_sn.generate_constraints()
@@ -140,32 +156,16 @@ class MintGadget:
     def generate_witness(self, note_old: NT.Note, note: NT.Note,
                          cmtA_old: bytes, cmtA: bytes, v_s: int,
                          sk_data: bytes):
-        self.ncab.generate_witness(note_old, note, v_s, sk_data)
+        self.ncsv.generate_witness(note_old, note, v_s, sk_data)
         self.pb.setval(self.ZERO, 0)
         self.prf_to_inputs_sn.generate_witness()
-        self.sn.fill_with_bits(NT.bytes_to_bits(note.sn))
-        self.sn_old.fill_with_bits(NT.bytes_to_bits(note_old.sn))
         self.commit_to_inputs_cmt_old.generate_witness()
         self.commit_to_inputs_cmt.generate_witness()
         self.cmtA_old.fill_with_bits(NT.bytes_to_bits(cmtA_old))
         self.cmtA.fill_with_bits(NT.bytes_to_bits(cmtA))
         self.unpacker.witness_from_bits()
 
-    @staticmethod
-    def witness_map(cmtA_old: bytes, sn_old: bytes, cmtA: bytes,
-                    value_s: int) -> List[int]:
-        """Public-input packing (gadget.tcc:249-285)."""
-        bits = (NT.bytes_to_bits(cmtA_old) + NT.bytes_to_bits(sn_old)
-                + NT.bytes_to_bits(cmtA) + NT.uint64_to_bits(value_s))
-        return pack_bits(bits)
-
-
-def pack_bits(bits: List[int], chunk: int = FR_CAPACITY) -> List[int]:
-    """libff pack_bit_vector_into_field_element_vector (field_utils.tcc:79)."""
-    out = []
-    for off in range(0, len(bits), chunk):
-        acc = 0
-        for j, b in enumerate(bits[off:off + chunk]):
-            acc |= b << j
-        out.append(acc)
-    return out
+    witness_map = staticmethod(
+        lambda cmtA_old, sn_old, cmtA, value_s: pack_bits(
+            NT.bytes_to_bits(cmtA_old) + NT.bytes_to_bits(sn_old)
+            + NT.bytes_to_bits(cmtA) + NT.uint64_to_bits(value_s)))

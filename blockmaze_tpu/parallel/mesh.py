@@ -1,0 +1,80 @@
+"""Multi-chip sharding for the proving stack (jax.sharding + shard_map).
+
+The reference parallelises with OpenMP threads inside one process
+(multiexp.tcc:421, basic_radix2_domain_aux.tcc:83). The TPU-native design
+shards over a device Mesh instead (SURVEY.md §2.3):
+
+  axis "pts"   — MSM (point, scalar) pairs are sharded per chip; every chip
+                 runs the full Pippenger kernel on its slice, producing one
+                 partial group element; partials are all-gathered over ICI
+                 (tiny: one Jacobian point each) and folded.
+  axis "batch" — independent proofs (witnesses) are data-parallel.
+
+Field-element reductions across chips ride psum on the lazy limb
+representation: uint32 limb sums are linear, so psum + canon_wide is an exact
+field addition collective (no bespoke transport — XLA collectives over ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves import jcurve as jc
+from ..fields import jfield as jf
+from ..msm import pippenger as pp
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "pts") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_msm(mesh: Mesh, curve: str, points, scalars, c: int = 13,
+                lanes: int = 1024):
+    """MSM with (point, scalar) pairs sharded across the mesh's `pts` axis.
+
+    Each device reduces its shard with the single-chip Pippenger kernel; the
+    per-device partial sums (one Jacobian point each) are all-gathered over
+    ICI and folded with log2(n) point additions."""
+    F = jc.FqOps if curve == "g1" else jc.Fq2Ops
+    coord = P("pts") if curve == "g1" else P("pts")
+    pspec = (coord, coord, P("pts"))
+    sspec = P("pts")
+
+    @partial(shard_map, mesh=mesh, in_specs=(pspec, sspec),
+             out_specs=(P(None), P(None), P(None)), check_vma=False)
+    def run(pts, sc):
+        part = pp.msm(curve, pts, sc, c=c, lanes=lanes)
+        # gather all partials: (n_dev, ...) on every device
+        gx = jax.lax.all_gather(part[0], "pts")
+        gy = jax.lax.all_gather(part[1], "pts")
+        gz = jax.lax.all_gather(part[2], "pts")
+        n_dev = gx.shape[0]
+        acc = (gx[0], gy[0], gz[0])
+        for i in range(1, n_dev):
+            acc = jc.point_add(F, acc, (gx[i], gy[i], gz[i]))
+        return acc
+
+    return run(points, scalars)
+
+
+def sharded_field_inner_sum(mesh: Mesh, terms_mont):
+    """Σ_i terms_i across a sharded axis: per-device lazy limb sums, psum over
+    ICI, one canonical reduction. Demonstrates the linear-collective trick
+    used by the sharded QAP matvec."""
+
+    @partial(shard_map, mesh=mesh, in_specs=P("pts"),
+             out_specs=P(None), check_vma=False)
+    def run(t):
+        local = jnp.sum(t.astype(jnp.uint32), axis=0)  # lazy limb sum
+        total = jax.lax.psum(local, "pts")
+        return jf.canon_wide(jf.FR, total)
+
+    return run(terms_mont)

@@ -37,6 +37,11 @@ class PackingGadget:
     def witness_from_packed(self):
         v = self.pb.lc_val(self.packed)
         for i, b in enumerate(self.bits):
+            if b == 0:
+                # reference writes through pb.val(ONE) into the constant term;
+                # a valid witness always writes 1 there, so it is a no-op
+                assert (v >> i) & 1 == 1
+                continue
             self.pb.setval(b, (v >> i) & 1)
 
 
