@@ -305,6 +305,42 @@ def select(mask, a, b):
 
 
 @partial(jax.jit, static_argnums=0)
+def batch_inv_parallel(spec: FieldSpec, a):
+    """Elementwise inversion of a (n, 16) batch with O(log n) depth:
+    Hillis-Steele prefix/suffix products + ONE Fermat inversion.
+
+    inv_i = prefix_{i-1} * suffix_{i+1} * total^-1. Zero entries map to zero.
+    ~3*n*log2(n) muls total vs n*380 for per-element Fermat — the win grows
+    with batch size (keygen normalises millions of points)."""
+    n = a.shape[0]
+    one = jnp.asarray(spec.one_mont)
+    az = jnp.where(is_zero(a)[..., None], one, a)
+
+    def scan_mul(x, reverse):
+        steps = max(1, (n - 1).bit_length())
+        pos = jnp.arange(n)
+
+        def body(i, v):
+            shift = jnp.left_shift(jnp.int32(1), i)
+            rolled = jnp.roll(v, -shift if reverse else shift, axis=0)
+            prod = mont_mul(spec, v, rolled)
+            valid = (pos < n - shift) if reverse else (pos >= shift)
+            return jnp.where(valid[..., None], prod, v)
+
+        return jax.lax.fori_loop(0, steps, body, x)
+
+    prefix = scan_mul(az, reverse=False)   # prefix[i] = a_0 * ... * a_i
+    suffix = scan_mul(az, reverse=True)    # suffix[i] = a_i * ... * a_{n-1}
+    total_inv = inv(spec, prefix[-1])
+
+    pre = jnp.concatenate([one[None], prefix[:-1]])
+    suf = jnp.concatenate([suffix[1:], one[None]])
+    out = mont_mul(spec, mont_mul(spec, pre, suf),
+                   jnp.broadcast_to(total_inv, a.shape))
+    return jnp.where(is_zero(a)[..., None], jnp.zeros_like(a), out)
+
+
+@partial(jax.jit, static_argnums=0)
 def canon_wide(spec: FieldSpec, wide):
     """Reduce a lazily-accumulated limb tensor to canonical form.
 

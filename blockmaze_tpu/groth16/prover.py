@@ -17,7 +17,9 @@ deterministic regression tests.
 
 from __future__ import annotations
 
+import os
 import secrets
+import time
 from typing import List, Optional
 
 import jax
@@ -36,13 +38,38 @@ from .keys import DevicePK
 FR = jf.FR
 
 
-def _to_device_points(t):
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def _to_device_points(t, pad_to: Optional[int] = None):
+    """Move affine points to device, optionally padding with infinity rows so
+    different queries share one compiled MSM graph shape (padding points are
+    masked out by the kernel's infinity handling)."""
     x, y, inf = t
+    if pad_to is not None and pad_to > x.shape[0]:
+        padn = pad_to - x.shape[0]
+        x = np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
+        y = np.concatenate([y, np.zeros((padn,) + y.shape[1:], y.dtype)])
+        inf = np.concatenate([inf, np.ones(padn, bool)])
     return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
 
 
+def _pad_scalars(s, pad_to: int):
+    n = s.shape[0]
+    if pad_to > n:
+        s = jnp.concatenate(
+            [s, jnp.zeros((pad_to - n, s.shape[1]), jnp.uint32)])
+    return s
+
+
 class Prover:
-    """Holds device-resident query tensors for one circuit's proving key."""
+    """Holds device-resident query tensors for one circuit's proving key.
+
+    All MSM inputs are padded to powers of two: the A/H/L queries of one
+    circuit — and of different circuits with equal padded sizes — then share a
+    single compiled Pippenger graph (compile time dominates turnaround on
+    CPU; on TPU it also maximises XLA program cache hits)."""
 
     def __init__(self, dpk: DevicePK, lanes: int = 1024,
                  window: Optional[int] = None):
@@ -50,12 +77,27 @@ class Prover:
         self.domain = dpk.domain
         self.lanes = lanes
         self.window = window or pp.default_window(dpk.num_variables)
-        self.A = _to_device_points(dpk.A)
-        self.B2 = _to_device_points(dpk.B2)
-        self.B1 = _to_device_points(dpk.B1)
-        self.H = tuple(v[: self.domain.m - 1] for v in _to_device_points(dpk.H))
-        self.L = _to_device_points(dpk.L)
+        nA = _next_pow2(dpk.num_variables + 1)
+        self.nA = nA
+        self.A = _to_device_points(dpk.A, nA)
+        nB = _next_pow2(len(dpk.B_idx))
+        self.nB = nB
+        self.B2 = _to_device_points(dpk.B2, nB)
+        self.B1 = _to_device_points(dpk.B1, nB)
+        H = tuple(v[: self.domain.m - 1] for v in dpk.H)
+        nH = _next_pow2(self.domain.m - 1)
+        self.nH = nH
+        self.H = _to_device_points(H, nH)
+        nL = _next_pow2(len(dpk.L[2]))
+        self.nL = nL
+        self.L = _to_device_points(dpk.L, nL)
         self.B_idx = jnp.asarray(dpk.B_idx)
+        self.verbose = bool(os.environ.get("BMTPU_VERBOSE"))
+
+    def _t(self, label, t0):
+        if self.verbose:
+            print(f"    [prover] {label}: {time.time()-t0:.2f}s", flush=True)
+        return time.time()
 
     def prove(self, primary: List[int], aux: List[int],
               r: Optional[int] = None, s: Optional[int] = None) -> Proof:
@@ -65,24 +107,43 @@ class Prover:
         r = secrets.randbelow(R_MOD) if r is None else r
         s = secrets.randbelow(R_MOD) if s is None else s
 
+        t0 = time.time()
         # const-padded assignment (1, wires...) in both forms
         wires = [1] + list(primary) + list(aux)
         wires_mont = jnp.asarray(jf.to_mont_host(FR, wires))
         wires_std = jnp.asarray(jf.ints_to_limbs(wires))
+        t0 = self._t("wire conversion", t0)
 
         # --- QAP H coefficients -----------------------------------------
         H_mont = qap.qap_h(self.domain, dpk, wires_mont)
         H_std = jf.from_mont(FR, H_mont[: self.domain.m - 1])
+        if self.verbose:
+            jax.block_until_ready(H_std)
+        t0 = self._t("qap H (NTT pipeline)", t0)
 
         # --- 4 MSMs (dispatched asynchronously) -------------------------
         c, lanes = self.window, self.lanes
-        At = pp.msm("g1", self.A, wires_std, c=c, lanes=lanes)
-        b_scalars = jnp.take(wires_std, self.B_idx, axis=0)
-        Bt2 = pp.msm("g2", self.B2, b_scalars, c=c, lanes=lanes)
-        Bt1 = pp.msm("g1", self.B1, b_scalars, c=c, lanes=lanes)
-        Ht = pp.msm("g1", self.H, H_std, c=c, lanes=lanes)
-        Lt = pp.msm("g1", self.L, wires_std[dpk.primary_input_size + 1:],
+        At = pp.msm("g1", self.A, _pad_scalars(wires_std, self.nA),
                     c=c, lanes=lanes)
+        if self.verbose:
+            jax.block_until_ready(At)
+        t0 = self._t("MSM A", t0)
+        b_scalars = jnp.take(wires_std, self.B_idx, axis=0)
+        Bt2 = pp.msm("g2", self.B2, _pad_scalars(b_scalars, self.nB),
+                     c=c, lanes=lanes)
+        if self.verbose:
+            jax.block_until_ready(Bt2)
+        t0 = self._t("MSM B (G2)", t0)
+        Bt1 = pp.msm("g1", self.B1, _pad_scalars(b_scalars, self.nB),
+                     c=c, lanes=lanes)
+        Ht = pp.msm("g1", self.H, _pad_scalars(H_std, self.nH),
+                    c=c, lanes=lanes)
+        Lt = pp.msm("g1", self.L,
+                    _pad_scalars(wires_std[dpk.primary_input_size + 1:],
+                                 self.nL), c=c, lanes=lanes)
+        if self.verbose:
+            jax.block_until_ready(Lt)
+        t0 = self._t("MSM B1/H/L", t0)
 
         # --- host combine (a handful of scalar muls) --------------------
         At_h = jc.g1_jacobian_to_host(tuple(v[None] for v in At))[0]
@@ -90,6 +151,7 @@ class Prover:
         Bt1_h = jc.g1_jacobian_to_host(tuple(v[None] for v in Bt1))[0]
         Ht_h = jc.g1_jacobian_to_host(tuple(v[None] for v in Ht))[0]
         Lt_h = jc.g1_jacobian_to_host(tuple(v[None] for v in Lt))[0]
+        t0 = self._t("device->host + combine", t0)
 
         g1_A = HC.g1_add(HC.g1_add(dpk.alpha_g1, At_h),
                          HC.g1_mul(dpk.delta_g1, r))

@@ -316,3 +316,65 @@ def write_primary_input(path: str, values: List[int]):
         f.write(f"{len(values)}\n")
         for v in values:
             f.write(f"{v % R_MOD}\n")
+
+
+def fmt_fq12(el) -> str:
+    (a0, a1, a2), (b0, b1, b2) = el
+    parts = [a0[0], a0[1], a1[0], a1[1], a2[0], a2[1],
+             b0[0], b0[1], b1[0], b1[1], b2[0], b2[1]]
+    return " ".join(str(x) for x in parts)
+
+
+def write_verification_key(path: str, vk: VerificationKey):
+    """Byte-compatible with r1cs_gg_ppzksnark_verification_key operator<<
+    (r1cs_gg_ppzksnark.tcc:101-110)."""
+    with open(path, "w") as f:
+        f.write(fmt_fq12(vk.alpha_g1_beta_g2) + "\n")
+        f.write(fmt_g2(vk.gamma_g2) + "\n")
+        f.write(fmt_g2(vk.delta_g2) + "\n")
+        # accumulation_vector: first NL sparse_vector NL
+        f.write(fmt_g1(vk.gamma_ABC_first) + "\n")
+        f.write(f"{vk.gamma_ABC_domain}\n")
+        f.write(f"{len(vk.gamma_ABC_rest)}\n")
+        for idx, _ in vk.gamma_ABC_rest:
+            f.write(f"{idx}\n")
+        f.write(f"{len(vk.gamma_ABC_rest)}\n")
+        for _, p in vk.gamma_ABC_rest:
+            f.write(fmt_g1(p) + "\n")
+        f.write("\n")
+
+
+def write_proving_key(path: str, pk: ProvingKey):
+    """Byte-compatible with r1cs_gg_ppzksnark_proving_key operator<<
+    (r1cs_gg_ppzksnark.tcc:52-66)."""
+    with open(path, "w") as f:
+        for p in (pk.alpha_g1, pk.beta_g1):
+            f.write(fmt_g1(p) + "\n")
+        f.write(fmt_g2(pk.beta_g2) + "\n")
+        f.write(fmt_g1(pk.delta_g1) + "\n")
+        f.write(fmt_g2(pk.delta_g2) + "\n")
+        # A_query: vector<G1>
+        f.write(f"{len(pk.A_query)}\n")
+        for p in pk.A_query:
+            f.write(fmt_g1(p) + "\n")
+        # B_query: sparse_vector<kc<G2,G1>>
+        f.write(f"{pk.B_domain}\n")
+        f.write(f"{len(pk.B_indices)}\n")
+        for i in pk.B_indices:
+            f.write(f"{i}\n")
+        f.write(f"{len(pk.B_indices)}\n")
+        for g2p, g1p in zip(pk.B_g2, pk.B_g1):
+            f.write(fmt_g2(g2p) + " " + fmt_g1(g1p) + "\n")
+        for q in (pk.H_query, pk.L_query):
+            f.write(f"{len(q)}\n")
+            for p in q:
+                f.write(fmt_g1(p) + "\n")
+        # constraint system
+        cs = pk.cs
+        f.write(f"{cs.primary_input_size}\n{cs.auxiliary_input_size}\n")
+        f.write(f"{cs.num_constraints}\n")
+        for (a, b, c) in cs.constraints:
+            for lc in (a, b, c):
+                f.write(f"{len(lc)}\n")
+                for idx, coeff in lc:
+                    f.write(f"{idx}\n{coeff % R_MOD}\n")
