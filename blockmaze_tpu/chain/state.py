@@ -74,6 +74,12 @@ class ZkTransaction:
     zk_proof: Optional[object] = None  # serialization.libsnark_io.Proof
     rt_cmt: Optional[bytes] = None
     one_time_addr: Optional[bytes] = None  # deposit signer address
+    # transaction.go:64-100 extras carried by the node layer:
+    aux: Optional[bytes] = None            # encrypted memo (SendTx)
+    x: Optional[int] = None                # ephemeral/one-time pubkey X
+    y: Optional[int] = None                # ephemeral/one-time pubkey Y
+    cmt_blocks: Optional[List[int]] = None  # CMTBlock list (DepositTx)
+    sig: Optional[tuple] = None            # (r, s, recid) one-time-key sig
 
 
 class StateDB:
@@ -99,6 +105,18 @@ class StateDB:
         self.accounts[key] = Account(nonce=1)
 
 
+def tx_hash(tx: "ZkTransaction") -> bytes:
+    """Framework tx hash: keccak256 over the canonical field serialization
+    (the reference's tx.Hash() analog; used as the signing payload for the
+    one-time-key deposit signature)."""
+    from ..crypto.keccak import keccak256
+    parts = [bytes([int(tx.code)]), tx.sender, tx.zk_value.to_bytes(8, "big")]
+    for b in (tx.zk_sn, tx.zk_sns, tx.zk_cmt, tx.zk_cmts, tx.rt_cmt):
+        parts.append(b or b"")
+    parts.append(tx.aux or b"")
+    return keccak256(b"".join(parts))
+
+
 class ChainError(Exception):
     pass
 
@@ -117,10 +135,13 @@ class ChainState:
     def _nullifier_key(self, sn: bytes) -> bytes:
         return sn[:20]
 
-    def _check_and_consume_sn(self, sn: bytes):
-        key = self._nullifier_key(sn)
-        if self.db.exists(key) and sn != self.init_sn:
+    def _check_sn(self, sn: bytes):
+        """state_processor.go:109/121/137/154: the nullifier check runs
+        BEFORE proof verification for every zk code."""
+        if self.db.exists(self._nullifier_key(sn)) and sn != self.init_sn:
             raise ChainError("sn is already used")
+
+    def _consume_sn(self, sn: bytes):
         self.db.create_nullifier(sn)
 
     def apply_transaction(self, tx: ZkTransaction):
@@ -129,39 +150,55 @@ class ChainState:
         cmt_balance = acct.cmt
 
         if tx.code == TxCode.MINT:
+            self._check_sn(tx.zk_sn)
             if acct.balance < tx.zk_value:
                 raise ChainError("insufficient plaintext balance for mint")
             ok = self.zktx.verify_mint_proof(
                 tx.zk_proof, cmt_balance, tx.zk_sn, tx.zk_cmt, tx.zk_value)
             if not ok:
                 raise ChainError("invalid zk mint proof")
-            self._check_and_consume_sn(tx.zk_sn)
+            self._consume_sn(tx.zk_sn)
             acct.balance -= tx.zk_value
         elif tx.code == TxCode.SEND:
+            self._check_sn(tx.zk_sn)
             ok = self.zktx.verify_send_proof(
                 tx.zk_proof, cmt_balance, tx.zk_sn, tx.zk_cmts, tx.zk_cmt)
             if not ok:
                 raise ChainError("invalid zk send proof")
-            self._check_and_consume_sn(tx.zk_sn)
+            self._consume_sn(tx.zk_sn)
         elif tx.code == TxCode.DEPOSIT:
-            if tx.rt_cmt not in self.rt_index:
-                raise ChainError("invalid CMTRoot")
+            self._check_sn(tx.zk_sn)
+            # NB: CMTRoot recomputation from the named blocks happens at pool
+            # admission (tx_pool.go:650-665, node.Network.validate_tx); the
+            # state processor re-verifies the proof against the root carried
+            # by the tx (state_processor.go:147) without re-deriving it.
             ok = self.zktx.verify_deposit_proof(
                 tx.zk_proof, tx.rt_cmt, tx.one_time_addr, cmt_balance,
                 tx.zk_sn, tx.zk_cmt, tx.zk_sns)
             if not ok:
                 raise ChainError("invalid zk deposit proof")
-            self._check_and_consume_sn(tx.zk_sn)
+            # deposit txs must be signed by the one-time key; the recovered
+            # signer must equal addr(X, Y) (state_processor.go:141-146,
+            # transaction_signing.go:96-113)
+            if tx.sig is not None:
+                from ..crypto.keccak import pubkey_to_address
+                from ..zktx import aux as _za
+                r, s, rec = tx.sig
+                pub = _za.ecdsa_recover(tx_hash(tx), r, s, rec)
+                if pubkey_to_address(*pub) != tx.one_time_addr:
+                    raise ChainError("deposit signature mismatch")
+            self._consume_sn(tx.zk_sn)
             # one-time pubkey single use (state_processor.go:172-179)
             if self.db.exists(tx.one_time_addr):
                 raise ChainError("cannot use randompubkey for a second time")
             self.db.accounts[tx.one_time_addr] = Account(nonce=1)
         elif tx.code == TxCode.REDEEM:
+            self._check_sn(tx.zk_sn)
             ok = self.zktx.verify_redeem_proof(
                 tx.zk_proof, cmt_balance, tx.zk_sn, tx.zk_cmt, tx.zk_value)
             if not ok:
                 raise ChainError("invalid zk redeem proof")
-            self._check_and_consume_sn(tx.zk_sn)
+            self._consume_sn(tx.zk_sn)
             acct.balance += tx.zk_value
         else:
             raise ChainError(f"unsupported tx code {tx.code}")

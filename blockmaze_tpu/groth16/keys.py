@@ -158,15 +158,41 @@ def load_device_pk(path: str) -> DevicePK:
     return DevicePK(**kw)
 
 
+def build_device_pk_native(pk_txt_path: str) -> "DevicePK | None":
+    """Parse via the C++/GMP native module (native/keyparse.cpp): decimal
+    parse + point decompression + Montgomery limb conversion in one pass,
+    ~50x faster than the Python path on the 85-253 MB key files."""
+    from ..serialization import native_io
+    d = native_io.parse_pk_native(pk_txt_path)
+    if d is None:
+        return None
+    return DevicePK(
+        primary_input_size=d["primary_input_size"],
+        aux_input_size=d["aux_input_size"],
+        num_constraints=d["num_constraints"],
+        domain_size=D.get_evaluation_domain(
+            d["num_constraints"] + d["primary_input_size"] + 1).m,
+        alpha_g1=d["alpha_g1"], beta_g1=d["beta_g1"], beta_g2=d["beta_g2"],
+        delta_g1=d["delta_g1"], delta_g2=d["delta_g2"],
+        A=d["A"], B_idx=d["B_idx"], B2=d["B2"], B1=d["B1"],
+        H=d["H"], L=d["L"],
+        a_row=d["a_coo"][0], a_var=d["a_coo"][1], a_coeff=d["a_coo"][2],
+        b_row=d["b_coo"][0], b_var=d["b_coo"][1], b_coeff=d["b_coo"][2],
+        c_row=d["c_coo"][0], c_var=d["c_coo"][1], c_coeff=d["c_coo"][2],
+    )
+
+
 def load_or_build(pk_txt_path: str, cache_dir: str | None = None) -> DevicePK:
-    """Load the npz cache next to the pk text file, building it on miss."""
+    """Load the npz cache next to the pk text file, building it on miss
+    (native C++ parser when built, Python fallback otherwise)."""
     cache_dir = cache_dir or os.path.dirname(pk_txt_path)
     base = os.path.splitext(os.path.basename(pk_txt_path))[0]
     cache = os.path.join(cache_dir, base + f".v{CACHE_VERSION}.npz")
     if os.path.exists(cache) and (
             os.path.getmtime(cache) >= os.path.getmtime(pk_txt_path)):
         return load_device_pk(cache)
-    pk = io.load_proving_key(pk_txt_path)
-    dpk = build_device_pk(pk)
+    dpk = build_device_pk_native(pk_txt_path)
+    if dpk is None:
+        dpk = build_device_pk(io.load_proving_key(pk_txt_path))
     save_device_pk(dpk, cache)
     return dpk

@@ -93,8 +93,12 @@ class ZkTx:
 
     # --- mint -----------------------------------------------------------
     def gen_mint_proof(self, value_old: int, value: int, value_s: int,
-                       sk: bytes, r_old: bytes, r: bytes) -> tuple:
-        sn_old = compute_prf(sk, r_old)
+                       sk: bytes, r_old: bytes, r: bytes,
+                       sn_old: Optional[bytes] = None) -> tuple:
+        # the reference ABI passes sn_old explicitly (zktx.go GenMintProof):
+        # genesis notes carry InitializeSN's sn, not PRF(this sk, r_old)
+        if sn_old is None:
+            sn_old = compute_prf(sk, r_old)
         note_old = NT.Note(value_old, sn_old, r_old)
         sn = compute_prf(sk, r)
         note = NT.Note(value, sn, r)
@@ -114,8 +118,10 @@ class ZkTx:
     # --- send -----------------------------------------------------------
     def gen_send_proof(self, value_old: int, value: int, value_s: int,
                        sk: bytes, r_old: bytes, r: bytes,
-                       pk_sender: bytes, pk_recv: bytes) -> tuple:
-        sn_old = compute_prf(sk, r_old)
+                       pk_sender: bytes, pk_recv: bytes,
+                       sn_old: Optional[bytes] = None) -> tuple:
+        if sn_old is None:
+            sn_old = compute_prf(sk, r_old)
         note_old = NT.Note(value_old, sn_old, r_old)
         note = NT.Note(value, compute_prf(sk, r), r)
         r_s = compute_crh(pk_sender, r)
@@ -135,8 +141,10 @@ class ZkTx:
 
     # --- redeem ---------------------------------------------------------
     def gen_redeem_proof(self, value_old: int, value: int, value_s: int,
-                         sk: bytes, r_old: bytes, r: bytes) -> tuple:
-        sn_old = compute_prf(sk, r_old)
+                         sk: bytes, r_old: bytes, r: bytes,
+                         sn_old: Optional[bytes] = None) -> tuple:
+        if sn_old is None:
+            sn_old = compute_prf(sk, r_old)
         note_old = NT.Note(value_old, sn_old, r_old)
         note = NT.Note(value, compute_prf(sk, r), r)
         pb = Protoboard()
@@ -156,10 +164,12 @@ class ZkTx:
     def gen_deposit_proof(self, value_old: int, value: int, value_s: int,
                           sk: bytes, r_old: bytes, r: bytes, r_s: bytes,
                           sn_A_old: bytes, pk_recv: bytes,
-                          cmts_for_merkle: List[bytes]) -> tuple:
+                          cmts_for_merkle: List[bytes],
+                          sn_old: Optional[bytes] = None) -> tuple:
         """Rebuilds the tree from the cmt list (genDepositproof semantics:
         depositcgo.cpp builds the tree, takes witness(cmtS).path())."""
-        sn_old = compute_prf(sk, r_old)
+        if sn_old is None:
+            sn_old = compute_prf(sk, r_old)
         note_old = NT.Note(value_old, sn_old, r_old)
         note = NT.Note(value, compute_prf(sk, r), r)
         note_s = NT.NoteS(value_s, pk_recv, r_s, sn_A_old)

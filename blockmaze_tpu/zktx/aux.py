@@ -287,3 +287,64 @@ def compute_aux(random_receiver_pk: Tuple[int, int], value: int,
 
 def dec_aux(key_pub: Tuple[int, int], data: bytes):
     return rlp_decode_aux(sym_decrypt(key_pub, data))
+
+
+# ---------------------------------------------------------------------------
+# ECDSA over secp256k1 (deposit txs are signed with the one-time key:
+# types.SignTx(tx, HomesteadSigner, randomKeyB), api.go:1929; the pool and
+# state processor recover the signer and require it to equal the address of
+# the tx's (X, Y) pubkey — ExtractPKBAddress, transaction_signing.go:96-113)
+# ---------------------------------------------------------------------------
+
+def ecdsa_sign(priv: int, msg_hash: bytes, k: Optional[int] = None):
+    """Sign a 32-byte hash; returns (r, s, recovery_id). Deterministic k via
+    HMAC-ish hash when not supplied (tests); random otherwise."""
+    z = int.from_bytes(msg_hash, "big") % N
+    while True:
+        if k is None:
+            kk = int.from_bytes(
+                hashlib.sha256(priv.to_bytes(32, "big") + msg_hash +
+                               secrets.token_bytes(16)).digest(), "big") % N
+        else:
+            kk = k % N
+        if kk == 0:
+            k = None
+            continue
+        X = scalar_mult(kk, G)
+        r = X[0] % N
+        if r == 0:
+            k = None
+            continue
+        s = (z + r * priv) * pow(kk, -1, N) % N
+        if s == 0:
+            k = None
+            continue
+        rec = (X[1] & 1) ^ (1 if X[0] >= N else 0)
+        return r, s, rec
+
+
+def ecdsa_recover(msg_hash: bytes, r: int, s: int, rec: int) -> Tuple[int, int]:
+    """Recover the signer's public key (the ExtractPKBAddress primitive)."""
+    z = int.from_bytes(msg_hash, "big") % N
+    x = r + (rec >> 1) * N
+    # lift x
+    y2 = (pow(x, 3, P) + 7) % P
+    y = pow(y2, (P + 1) // 4, P)
+    if (y & 1) != (rec & 1):
+        y = P - y
+    Rpt = (x, y)
+    rinv = pow(r, -1, N)
+    # Q = r^-1 (s·R − z·G)
+    q = _add(scalar_mult(s * rinv % N, Rpt),
+             scalar_mult((-z * rinv) % N, G))
+    assert q is not None, "invalid signature"
+    return q
+
+
+def ecdsa_verify(pub: Tuple[int, int], msg_hash: bytes, r: int, s: int) -> bool:
+    if not (1 <= r < N and 1 <= s < N):
+        return False
+    z = int.from_bytes(msg_hash, "big") % N
+    sinv = pow(s, -1, N)
+    pt = _add(scalar_mult(z * sinv % N, G), scalar_mult(r * sinv % N, pub))
+    return pt is not None and pt[0] % N == r

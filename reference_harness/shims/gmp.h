@@ -134,6 +134,29 @@ int mpz_cmp_ui(mpz_srcptr, unsigned long);
 size_t mpz_sizeinbase(mpz_srcptr, int);
 int mpz_tstbit(mpz_srcptr, mp_bitcnt_t);
 
+/* additional documented entry points used by blockmaze_tpu/native */
+#define mpz_inits __gmpz_inits
+#define mpz_clears __gmpz_clears
+#define mpz_init_set_str __gmpz_init_set_str
+#define mpz_powm __gmpz_powm
+#define mpz_powm_ui __gmpz_powm_ui
+#define mpz_invert __gmpz_invert
+#define mpz_addmul __gmpz_addmul
+#define mpz_mul_ui __gmpz_mul_ui
+#define mpz_sub_ui __gmpz_sub_ui
+#define mpz_fdiv_q_ui __gmpz_fdiv_q_ui
+
+void mpz_inits(mpz_ptr, ...);
+void mpz_clears(mpz_ptr, ...);
+int mpz_init_set_str(mpz_ptr, const char *, int);
+void mpz_powm(mpz_ptr, mpz_srcptr, mpz_srcptr, mpz_srcptr);
+void mpz_powm_ui(mpz_ptr, mpz_srcptr, unsigned long, mpz_srcptr);
+int mpz_invert(mpz_ptr, mpz_srcptr, mpz_srcptr);
+void mpz_addmul(mpz_ptr, mpz_srcptr, mpz_srcptr);
+void mpz_mul_ui(mpz_ptr, mpz_srcptr, unsigned long);
+void mpz_sub_ui(mpz_ptr, mpz_srcptr, unsigned long);
+unsigned long mpz_fdiv_q_ui(mpz_ptr, mpz_srcptr, unsigned long);
+
 #define mpz_sgn(z) ((z)->_mp_size < 0 ? -1 : ((z)->_mp_size > 0 ? 1 : 0))
 
 /* ---- formatted output ---- */
