@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 BASELINE_MINT_PROOFS_PER_SEC = 1.0 / 7.527
 
-LANES = int(os.environ.get("BMTPU_LANES", "8192"))
+LANES = int(os.environ.get("BMTPU_LANES", "32768"))
 WINDOW = int(os.environ.get("BMTPU_WINDOW", "13"))
 REPS = int(os.environ.get("BMTPU_REPS", "3"))
 

@@ -64,7 +64,9 @@ class FqOps:
 
     @staticmethod
     def select(mask, a, b):
-        return jnp.where(mask[..., None], a, b)
+        # Mosaic can't insert a minor dim on i1 vectors; widen first
+        m = mask.astype(jnp.uint32)[..., None] != 0
+        return jnp.where(m, a, b)
 
     @staticmethod
     def zeros_like(a):
@@ -72,7 +74,7 @@ class FqOps:
 
     @staticmethod
     def one_like(a):
-        one = jnp.asarray(FQ.one_mont)
+        one = jf.const_row(FQ.one_mont)
         return jnp.broadcast_to(one, a.shape)
 
 
@@ -125,7 +127,8 @@ class Fq2Ops:
 
     @staticmethod
     def select(mask, a, b):
-        return jnp.where(mask[..., None, None], a, b)
+        m = mask.astype(jnp.uint32)[..., None, None] != 0
+        return jnp.where(m, a, b)
 
     @staticmethod
     def zeros_like(a):
@@ -133,7 +136,7 @@ class Fq2Ops:
 
     @staticmethod
     def one_like(a):
-        one = jnp.stack([jnp.asarray(FQ.one_mont),
+        one = jnp.stack([jf.const_row(FQ.one_mont),
                          jnp.zeros(jf.N, dtype=jnp.uint32)])
         return jnp.broadcast_to(one, a.shape)
 

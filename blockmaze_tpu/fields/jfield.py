@@ -36,13 +36,14 @@ W = C.LIMB_BITS
 # ---------------------------------------------------------------------------
 
 def ints_to_limbs(xs) -> np.ndarray:
-    """List/array of Python ints -> (len, 16) uint32 limb array."""
+    """List/array of Python ints -> (len, 16) uint32 limb array.
+
+    Via to_bytes + frombuffer: ~20x faster than a per-limb Python loop
+    (witness conversion is on the prover's critical path)."""
     xs = list(xs)
-    out = np.empty((len(xs), N), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        for j in range(N):
-            out[i, j] = (x >> (W * j)) & C.LIMB_MASK
-    return out
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(xs), N)
+    return u16.astype(np.uint32)
 
 
 def limbs_to_ints(a) -> list:
@@ -110,6 +111,15 @@ def _split(x):
     return x & MASK, x >> W
 
 
+def const_row(vals):
+    """A (16,) uint32 constant limb row built from scalar literals.
+
+    jnp.asarray(np_array) captured inside a Pallas kernel trips the
+    "captures constants" check; a stack of scalar literals is computation,
+    which Pallas accepts and XLA constant-folds to the same thing."""
+    return jnp.stack([jnp.uint32(int(v)) for v in vals])
+
+
 @partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
     """Batched Montgomery product a*b*R^-1 mod p.
@@ -118,19 +128,24 @@ def mont_mul(spec: FieldSpec, a, b):
     16-limb value < 2^256 (the bound t < p + a*b/R < 2p then holds, so one
     conditional subtraction canonicalises).
 
-    Formulated as a flat elementwise graph (no lax loops) so XLA can fuse the
-    whole multiply into surrounding ops — crucial for both compile time and
-    VPU throughput:
+    Two algebraically identical formulations:
+      * TPU: flat elementwise graph (no lax loops) that XLA/Mosaic fuses into
+        surrounding ops at full VPU width;
+      * other backends: rolled lax.fori_loop body — a ~16x smaller HLO graph.
+        The unrolled form makes XLA:CPU's optimization passes blow up
+        superlinearly (a single G2 point add took ~46 s to compile).
 
       1. full 16x16 limb outer product, each 16x16-bit product split lo/hi;
-      2. diagonal (convolution) sums via statically shifted adds -> 32
-         redundant limbs, each < 2^21 (safe in uint32);
+      2. diagonal (convolution) sums via shifted adds -> 32 redundant limbs,
+         each < 2^21 (safe in uint32);
       3. 16 Montgomery reduction steps on redundant limbs: m_i only needs
          t_i mod 2^16, so carries stay lazy (every limb < 2^22);
       4. one carry propagation + one conditional subtraction.
     """
+    if jax.default_backend() != "tpu":
+        return _mont_mul_compact(spec, a, b)
     inv = np.uint32(spec.inv)
-    qv = jnp.asarray(spec.p_limbs)  # (16,)
+    qv = const_row(spec.p_limbs)  # (16,)
     batch = a.shape[:-1]
 
     def shifted(row, k, width):
@@ -148,13 +163,19 @@ def mont_mul(spec: FieldSpec, a, b):
         t = t + shifted(row >> W, i + 1, 2 * N + 1)
 
     # --- 3: Montgomery reduction (16 vectorized steps) -----------------
+    def col_shifted(col, k):
+        """Pad a (...,) column to (..., 2N+1) at offset k (scatter-free:
+        Mosaic has no scatter-add lowering, pads fuse fine)."""
+        pad = [(0, 0)] * col.ndim + [(k, 2 * N - k)]
+        return jnp.pad(col[..., None], pad)
+
     for i in range(N):
         m = (t[..., i] * inv) & MASK
         mq = m[..., None] * qv                      # (..., 16)
         t = t + shifted(mq & MASK, i, 2 * N + 1)
         t = t + shifted(mq >> W, i + 1, 2 * N + 1)
         # t_i is now ≡ 0 mod 2^16: roll its upper bits into t_{i+1}
-        t = t.at[..., i + 1].add(t[..., i] >> W)
+        t = t + col_shifted(t[..., i] >> W, i + 1)
 
     # --- 4: carry propagation over the high half -----------------------
     res = []
@@ -168,6 +189,50 @@ def mont_mul(spec: FieldSpec, a, b):
     return _cond_sub_p(spec, res, c)
 
 
+def _mont_mul_compact(spec: FieldSpec, a, b):
+    """mont_mul with the convolution/reduction loops rolled (small graph;
+    see mont_mul docstring). Bit-identical results."""
+    inv = np.uint32(spec.inv)
+    qv = const_row(spec.p_limbs)
+    batch = a.shape[:-1]
+    WIDTH = 2 * N + 1
+
+    def pad_row(row):
+        pad = [(0, 0)] * row.ndim
+        pad[-1] = (0, WIDTH - row.shape[-1])
+        return jnp.pad(row, pad)
+
+    def conv_body(i, t):
+        ai = jnp.take(a, i, axis=-1)
+        row = ai[..., None] * b
+        t = t + jnp.roll(pad_row(row & MASK), i, axis=-1)
+        t = t + jnp.roll(pad_row(row >> W), i + 1, axis=-1)
+        return t
+
+    t = jax.lax.fori_loop(
+        0, N, conv_body, jnp.zeros(batch + (WIDTH,), jnp.uint32))
+
+    def red_body(i, t):
+        ti = jnp.take(t, i, axis=-1)
+        m = (ti * inv) & MASK
+        mq = m[..., None] * qv
+        t = t + jnp.roll(pad_row(mq & MASK), i, axis=-1)
+        t = t + jnp.roll(pad_row(mq >> W), i + 1, axis=-1)
+        ti2 = jnp.take(t, i, axis=-1)
+        t = t + jnp.roll(pad_row((ti2 >> W)[..., None]), i + 1, axis=-1)
+        return t
+
+    t = jax.lax.fori_loop(0, N, red_body, t)
+
+    res = []
+    c = jnp.zeros(batch, jnp.uint32)
+    for j in range(N, 2 * N):
+        s = t[..., j] + c
+        res.append(s & MASK)
+        c = s >> W
+    return _cond_sub_p(spec, jnp.stack(res, axis=-1), c)
+
+
 def _cond_sub_p(spec: FieldSpec, x, extra):
     """Subtract p if (extra, x) >= p, where extra is a (batch,) high limb."""
     q = spec.p_limbs
@@ -178,8 +243,8 @@ def _cond_sub_p(spec: FieldSpec, x, extra):
         diff.append(s & MASK)
         borrow = (s >> W) & np.uint32(1)  # 1 iff borrowed (wraparound)
     diff = jnp.stack(diff, axis=-1)
-    need_sub = (extra > 0) | (borrow == 0)
-    return jnp.where(need_sub[..., None], diff, x)
+    need_sub = ((extra > 0) | (borrow == 0)).astype(jnp.uint32)
+    return jnp.where(need_sub[..., None] != 0, diff, x)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -214,14 +279,14 @@ def sub(spec: FieldSpec, a, b):
         dp.append(t & MASK)
         c = t >> W
     dp = jnp.stack(dp, axis=-1)
-    return jnp.where((borrow == 1)[..., None], dp, d)
+    return jnp.where((borrow == 1).astype(jnp.uint32)[..., None] != 0, dp, d)
 
 
 @partial(jax.jit, static_argnums=0)
 def neg(spec: FieldSpec, a):
     zero = jnp.zeros_like(a)
     r = sub(spec, zero, a)
-    return jnp.where(is_zero(a)[..., None], zero, r)
+    return jnp.where(is_zero(a).astype(jnp.uint32)[..., None] != 0, zero, r)
 
 
 def is_zero(a):
@@ -300,8 +365,10 @@ def batch_inv(spec: FieldSpec, a):
 
 
 def select(mask, a, b):
-    """Elementwise field select: mask ? a : b. mask shape = batch shape."""
-    return jnp.where(mask[..., None], a, b)
+    """Elementwise field select: mask ? a : b. mask shape = batch shape.
+    (Mask widened before the minor-dim insert: Mosaic has no i1 reshape.)"""
+    m = mask.astype(jnp.uint32)[..., None] != 0
+    return jnp.where(m, a, b)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -92,6 +92,28 @@ class Prover:
         self.nL = nL
         self.L = _to_device_points(dpk.L, nL)
         self.B_idx = jnp.asarray(dpk.B_idx)
+        # constraint matrices live on device (uploading ~200 MB of COO per
+        # proof through the host link dominated the QAP phase otherwise)
+        self.coos = (
+            (jnp.asarray(dpk.a_row), jnp.asarray(dpk.a_var),
+             jnp.asarray(dpk.a_coeff)),
+            (jnp.asarray(dpk.b_row), jnp.asarray(dpk.b_var),
+             jnp.asarray(dpk.b_coeff)),
+            (jnp.asarray(dpk.c_row), jnp.asarray(dpk.c_var),
+             jnp.asarray(dpk.c_coeff)),
+        )
+        dom = self.domain
+        meta = (dpk.num_constraints, dpk.primary_input_size)
+
+        @jax.jit
+        def _qap(wires_mont, coos):
+            H_mont = qap.qap_h_arrays(dom, meta, coos, wires_mont)
+            return jf.from_mont(FR, H_mont[: dom.m - 1])
+
+        # coos passed as arguments (NOT closed over): closure-captured device
+        # arrays are baked into the jaxpr as constants, defeating both the
+        # persistent compile cache and cross-instance jit reuse
+        self._qap_fn = lambda w: _qap(w, self.coos)
         self.verbose = bool(os.environ.get("BMTPU_VERBOSE"))
 
     def _t(self, label, t0):
@@ -115,10 +137,9 @@ class Prover:
         t0 = self._t("wire conversion", t0)
 
         # --- QAP H coefficients -----------------------------------------
-        H_mont = qap.qap_h(self.domain, dpk, wires_mont)
-        H_std = jf.from_mont(FR, H_mont[: self.domain.m - 1])
+        H_std = self._qap_fn(wires_mont)
         if self.verbose:
-            jax.block_until_ready(H_std)
+            np.asarray(H_std[:1])
         t0 = self._t("qap H (NTT pipeline)", t0)
 
         # --- 4 MSMs (dispatched asynchronously) -------------------------
@@ -164,3 +185,67 @@ class Prover:
             HC.g1_add(HC.g1_mul(g1_B, r),
                       HC.g1_neg(HC.g1_mul(dpk.delta_g1, r * s % R_MOD))))
         return Proof(a=g1_A, b=g2_B, c=g1_C)
+
+    # ------------------------------------------------------------------
+    # Batched multi-proof throughput (BASELINE "batched multi-proof" config)
+    # ------------------------------------------------------------------
+
+    def prove_batch(self, instances, rs: Optional[List[int]] = None,
+                    ss: Optional[List[int]] = None) -> List[Proof]:
+        """Prove B independent witnesses of the same circuit in one device
+        dispatch: the QAP pipeline and all four MSMs are vmapped over the
+        batch axis (the pk query tensors are shared). This is the reference's
+        per-process proof parallelism (§2.3: each geth node proves
+        independently) collapsed onto one chip's vector lanes."""
+        import jax
+
+        dpk = self.dpk
+        B = len(instances)
+        rs = [secrets.randbelow(R_MOD) for _ in range(B)] if rs is None else rs
+        ss = [secrets.randbelow(R_MOD) for _ in range(B)] if ss is None else ss
+
+        wires_all = [[1] + list(p) + list(a) for p, a in instances]
+        wires_mont = jnp.asarray(
+            np.stack([jf.to_mont_host(FR, w) for w in wires_all]))
+        wires_std = jnp.asarray(
+            np.stack([jf.ints_to_limbs(w) for w in wires_all]))
+
+        H_std = jax.vmap(self._qap_fn)(wires_mont)
+
+        c, lanes = self.window, self.lanes
+
+        def bmsm(curve, pts, scal, pad_to):
+            padded = jax.vmap(lambda s: _pad_scalars(s, pad_to))(scal)
+            return jax.vmap(
+                lambda s: pp.msm(curve, pts, s, c=c, lanes=lanes))(padded)
+
+        At = bmsm("g1", self.A, wires_std, self.nA)
+        b_scalars = jnp.take(wires_std, self.B_idx, axis=1)
+        Bt2 = bmsm("g2", self.B2, b_scalars, self.nB)
+        Bt1 = bmsm("g1", self.B1, b_scalars, self.nB)
+        Ht = bmsm("g1", self.H, H_std, self.nH)
+        Lt = bmsm("g1", self.L, wires_std[:, dpk.primary_input_size + 1:],
+                  self.nL)
+
+        At_h = jc.g1_jacobian_to_host(At)
+        Bt2_h = jc.g2_jacobian_to_host(Bt2)
+        Bt1_h = jc.g1_jacobian_to_host(Bt1)
+        Ht_h = jc.g1_jacobian_to_host(Ht)
+        Lt_h = jc.g1_jacobian_to_host(Lt)
+
+        proofs = []
+        for i in range(B):
+            r, s = rs[i], ss[i]
+            g1_A = HC.g1_add(HC.g1_add(dpk.alpha_g1, At_h[i]),
+                             HC.g1_mul(dpk.delta_g1, r))
+            g1_B = HC.g1_add(HC.g1_add(dpk.beta_g1, Bt1_h[i]),
+                             HC.g1_mul(dpk.delta_g1, s))
+            g2_B = HC.g2_add(HC.g2_add(dpk.beta_g2, Bt2_h[i]),
+                             HC.g2_mul(dpk.delta_g2, s))
+            g1_C = HC.g1_add(
+                HC.g1_add(HC.g1_add(Ht_h[i], Lt_h[i]), HC.g1_mul(g1_A, s)),
+                HC.g1_add(HC.g1_mul(g1_B, r),
+                          HC.g1_neg(HC.g1_mul(dpk.delta_g1,
+                                              r * s % R_MOD))))
+            proofs.append(Proof(a=g1_A, b=g2_B, c=g1_C))
+        return proofs

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import jfield as jf
-from ..ntt import jntt
+from ..ntt import jntt, pntt
 
 FR = jf.FR
 
@@ -32,21 +32,42 @@ def sparse_matvec(row, var, coeff, witness_mont, m: int):
 
     witness_mont: (nvars+1, 16) Montgomery (index 0 = constant ONE).
     Output: (m, 16) Montgomery, rows >= ncons are zero."""
-    terms = jf.mont_mul(FR, jnp.take(witness_mont, var, axis=0), coeff)
+    gathered = jnp.take(witness_mont, var, axis=0)
+    if pntt.use_pallas():
+        terms = pntt.mul_elementwise(gathered, coeff)
+    else:
+        terms = jf.mont_mul(FR, gathered, coeff)
     wide = jax.ops.segment_sum(terms, row, num_segments=m)
     return jf.canon_wide(FR, wide)
 
 
 def qap_h(domain, dpk, witness_mont):
     """Compute H coefficients for a DevicePK and a full witness tensor."""
-    m = domain.m
-    ncons = dpk.num_constraints
-    n_inp = dpk.primary_input_size
+    coos = (
+        (jnp.asarray(dpk.a_row), jnp.asarray(dpk.a_var),
+         jnp.asarray(dpk.a_coeff)),
+        (jnp.asarray(dpk.b_row), jnp.asarray(dpk.b_var),
+         jnp.asarray(dpk.b_coeff)),
+        (jnp.asarray(dpk.c_row), jnp.asarray(dpk.c_var),
+         jnp.asarray(dpk.c_coeff)),
+    )
+    return qap_h_arrays(
+        domain, (dpk.num_constraints, dpk.primary_input_size), coos,
+        witness_mont)
 
-    aA = sparse_matvec(jnp.asarray(dpk.a_row), jnp.asarray(dpk.a_var),
-                       jnp.asarray(dpk.a_coeff), witness_mont, m)
-    aB = sparse_matvec(jnp.asarray(dpk.b_row), jnp.asarray(dpk.b_var),
-                       jnp.asarray(dpk.b_coeff), witness_mont, m)
+
+def qap_h_arrays(domain, meta, coos, witness_mont):
+    """qap_h over explicit device-resident COO triples; `meta` =
+    (num_constraints, primary_input_size). The prover passes the triples as
+    jit ARGUMENTS so they are uploaded once per key and never baked into the
+    compiled program as constants."""
+    m = domain.m
+    ncons, n_inp = meta
+    (a_row, a_var, a_coeff), (b_row, b_var, b_coeff), \
+        (c_row, c_var, c_coeff) = coos
+
+    aA = sparse_matvec(a_row, a_var, a_coeff, witness_mont, m)
+    aB = sparse_matvec(b_row, b_var, b_coeff, witness_mont, m)
     # input consistency rows
     rows = jnp.arange(ncons, ncons + n_inp + 1)
     aA = aA.at[rows].set(witness_mont[: n_inp + 1])
@@ -55,10 +76,12 @@ def qap_h(domain, dpk, witness_mont):
     aB = jntt.ifft(domain, aB)
     aA = jntt.coset_fft(domain, aA)
     aB = jntt.coset_fft(domain, aB)
-    H = jf.mont_mul(FR, aA, aB)
+    if pntt.use_pallas():
+        H = pntt.mul_elementwise(aA, aB)
+    else:
+        H = jf.mont_mul(FR, aA, aB)
 
-    aC = sparse_matvec(jnp.asarray(dpk.c_row), jnp.asarray(dpk.c_var),
-                       jnp.asarray(dpk.c_coeff), witness_mont, m)
+    aC = sparse_matvec(c_row, c_var, c_coeff, witness_mont, m)
     aC = jntt.ifft(domain, aC)
     aC = jntt.coset_fft(domain, aC)
 

@@ -32,9 +32,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves import jcurve as jc
+from ..curves import pcurve as pcv
 from ..fields import jfield as jf
 
 SCALAR_BITS = 254
+
+# Pallas point kernels keep the limb arithmetic VMEM-resident (the XLA
+# formulation is HBM-bound). Only used on real TPU backends: the interpret
+# fallback is slower than the plain XLA path on CPU. BMTPU_PALLAS=0 forces
+# the XLA path everywhere.
+import os as _os
+
+
+def USE_PALLAS():
+    return (_os.environ.get("BMTPU_PALLAS", "1") != "0"
+            and jax.default_backend() == "tpu")
+
+
+def _k_mixed_add(curve, F, P, px, py, pinf):
+    if USE_PALLAS():
+        return pcv.mixed_add(curve, P, px, py, pinf)
+    return jc.point_mixed_add(F, P, px, py, pinf)
+
+
+def _k_add(curve, F, P, Q):
+    if USE_PALLAS():
+        return pcv.add(curve, P, Q)
+    return jc.point_add(F, P, Q)
+
+
+def _k_double(curve, F, P):
+    if USE_PALLAS():
+        return pcv.double(curve, P)
+    return jc.point_double(F, P)
 
 
 def _digits_for_window(limbs, w: int, c: int):
@@ -90,33 +120,52 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
     keys = jnp.where(dead, DROP, keys)
 
     total = n_windows * n
+
+    # ---- 2. physically reorder the PACKED point stream ------------------
+    # TPU gathers of 64-byte rows run ~3.5M rows/s (catastrophic); gathering
+    # ONE packed (X‖Y‖inf) row of 132/260 bytes runs at near-HBM speed. So:
+    # argsort the keys, then move the whole stream into bucket order with a
+    # single packed gather — the reduction loop below then only ever reads
+    # contiguous slices.
+    coord_w = 16 if curve == "g1" else 32
+    P = jnp.concatenate([X.reshape(n, coord_w), Y.reshape(n, coord_w),
+                         inf.astype(jnp.uint32)[:, None]], axis=1)
+    CW = P.shape[1]
     order = jnp.argsort(keys)
     skeys = keys[order]
     spid = (order % n).astype(jnp.int32)
 
-    # ---- 2. tiled segmented reduction ---------------------------------
+    # ---- 3. tiled segmented reduction ---------------------------------
     T = min(lanes, total)
     L = -(-total // T)
     pad = T * L - total
     skeys = jnp.concatenate([skeys, jnp.full((pad,), DROP, jnp.uint32)])
     spid = jnp.concatenate([spid, jnp.zeros((pad,), jnp.int32)])
-    skeys = skeys.reshape(T, L)
-    spid = spid.reshape(T, L)
+    # lane t owns the contiguous sorted run [t*L, (t+1)*L); transpose once so
+    # the loop's per-step slice [s] is a contiguous (T, CW) block
+    skeys = skeys.reshape(T, L).T                          # (L, T)
+    stream = jnp.take(P, spid, axis=0).reshape(T, L, CW).transpose(1, 0, 2)
+
+    def _unpack(row, k):
+        if curve == "g1":
+            px, py = row[:, :16], row[:, 16:32]
+        else:
+            px = row[:, :32].reshape(T, 2, 16)
+            py = row[:, 32:64].reshape(T, 2, 16)
+        pinf = (row[:, CW - 1] != 0) | (k == DROP)
+        return px, py, pinf
 
     buckets = _zeros_pts(F, curve, total_buckets)
     acc = _zeros_pts(F, curve, T)
     head_sum = _zeros_pts(F, curve, T)
-    init_key = skeys[:, 0]
+    init_key = skeys[0]
     head_key = jnp.full((T,), DROP, jnp.uint32)
     seen_change = jnp.zeros((T,), bool)
 
     def body(s, state):
         buckets, acc, cur_key, head_key, head_sum, seen_change = state
-        k = skeys[:, s]
-        pid = spid[:, s]
-        px = jnp.take(X, pid, axis=0)
-        py = jnp.take(Y, pid, axis=0)
-        pinf = jnp.take(inf, pid, axis=0) | (k == DROP)
+        k = skeys[s]
+        px, py, pinf = _unpack(stream[s], k)
 
         is_new = k != cur_key
         flush = is_new & seen_change & (cur_key < DROP)
@@ -132,7 +181,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
 
         zero = _zeros_pts(F, curve, T)
         acc = tuple(F.select(is_new, z, a) for z, a in zip(zero, acc))
-        acc = jc.point_mixed_add(F, acc, px, py, pinf)
+        acc = _k_mixed_add(curve, F, acc, px, py, pinf)
         return (buckets, acc, k, head_key, head_sum, seen_change)
 
     state = (buckets, acc, init_key, head_key, head_sum, seen_change)
@@ -165,7 +214,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
         prev = tuple(jnp.roll(p, shift, axis=0) for p in pts)
         prev_fl = jnp.roll(fl, shift, axis=0)
         valid = pos >= shift
-        s = jc.point_add(F, prev, pts)
+        s = _k_add(curve, F, prev, pts)
         take = valid & ~fl  # no segment start in (j-shift, j]
         pts = tuple(F.select(take, sv, pv) for sv, pv in zip(s, pts))
         fl = fl | (valid & prev_fl)
@@ -187,7 +236,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
     def suf_body(i, pts):
         shift = jnp.left_shift(jnp.int32(1), i)
         nxt = tuple(jnp.roll(p, -shift, axis=1) for p in pts)
-        s = jc.point_add(F, pts, nxt)
+        s = _k_add(curve, F, pts, nxt)
         take = bpos < (B1 - shift)
         return tuple(F.select(take[None, :], sv, pv)
                      for sv, pv in zip(s, pts))
@@ -198,25 +247,54 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
     def sum_body(i, pts):
         shift = jnp.left_shift(jnp.int32(1), i)
         prev = tuple(jnp.roll(p, shift, axis=1) for p in pts)
-        s = jc.point_add(F, prev, pts)
+        s = _k_add(curve, F, prev, pts)
         take = bpos >= shift
         return tuple(F.select(take[None, :], sv, pv)
                      for sv, pv in zip(s, pts))
 
-    tot = jax.lax.fori_loop(0, max(1, (B1 - 1).bit_length()), sum_body, suf)
-    win = tuple(p[:, -1] for p in tot)  # (W, ...) one point per window
+    # window total Σ_j R_j: only the reduction value is needed
+    if USE_PALLAS():
+        # pairwise halving tree: work B1 instead of B1·log B1 (13 kernel
+        # shapes, cheap under Mosaic)
+        pad1 = _zeros_pts(F, curve, n_windows)
+        red = tuple(jnp.concatenate([p, z[:, None]], axis=1)
+                    for p, z in zip(suf, pad1))  # (W, B1+1) with inf pad
+        size = B1 + 1
+        while size > 1:
+            half = size // 2
+            red = _k_add(curve, F,
+                         tuple(p[:, :half] for p in red),
+                         tuple(p[:, half:] for p in red))
+            size = half
+        win = tuple(p[:, 0] for p in red)  # (W, ...) one point per window
+    else:
+        # forward inclusive Hillis-Steele: a single point_add instance keeps
+        # the XLA CPU graph small (compile time dominates there)
+        def sum_body(i, pts):
+            shift = jnp.left_shift(jnp.int32(1), i)
+            prev = tuple(jnp.roll(p, shift, axis=1) for p in pts)
+            s = _k_add(curve, F, prev, pts)
+            take = bpos >= shift
+            return tuple(F.select(take[None, :], sv, pv)
+                         for sv, pv in zip(s, pts))
+
+        tot = jax.lax.fori_loop(0, max(1, (B1 - 1).bit_length()), sum_body,
+                                suf)
+        win = tuple(p[:, -1] for p in tot)
 
     # Horner fold over windows, highest first (rolled loops: the unrolled
     # version costs ~250 point ops of traced graph and minutes of compile)
     def fold_body(w, res):
-        res = jax.lax.fori_loop(0, c, lambda _, P: jc.point_double(F, P), res)
+        # res carries a leading batch dim of 1 (kernel-friendly shape)
+        res = jax.lax.fori_loop(0, c,
+                                lambda _, P: _k_double(curve, F, P), res)
         idx = n_windows - 1 - w
-        Q = tuple(jnp.take(x, idx, axis=0) for x in win)
-        return jc.point_add(F, res, Q)
+        Q = tuple(jnp.take(x, idx, axis=0)[None] for x in win)
+        return _k_add(curve, F, res, Q)
 
-    res = tuple(x[n_windows - 1] for x in win)
+    res = tuple(x[n_windows - 1][None] for x in win)
     res = jax.lax.fori_loop(1, n_windows, fold_body, res)
-    return res
+    return tuple(x[0] for x in res)
 
 
 # ---------------------------------------------------------------------------

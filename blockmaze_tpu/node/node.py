@@ -88,7 +88,9 @@ class Network:
                 if bn >= len(self.chain.blocks):
                     raise CS.ChainError("pool: unknown CMT block")
                 cmts.extend(self.chain.blocks[bn]["cmt"])
-            if not cmts or zapi.gen_rt(cmts) != tx.rt_cmt:
+            depth = getattr(self.zktx, "merkle_depth", None)
+            rt = (zapi.gen_rt(cmts, depth) if depth else zapi.gen_rt(cmts))
+            if not cmts or rt != tx.rt_cmt:
                 raise CS.ChainError("pool: invalid CMTRoot")
             # deposit signature must recover to addr(X, Y)
             # (transaction_signing.go:96-113 + pool check)
@@ -251,7 +253,9 @@ class Node:
         cmts_for_merkle: List[bytes] = []
         for bn in block_nums:
             cmts_for_merkle.extend(block_cmts[bn])
-        rt = zapi.gen_rt(cmts_for_merkle)
+        depth = getattr(self.net.zktx, "merkle_depth", None)
+        rt = (zapi.gen_rt(cmts_for_merkle, depth) if depth
+              else zapi.gen_rt(cmts_for_merkle))
 
         # derive the one-time key and decrypt the memo
         R = (tx_send.x, tx_send.y)

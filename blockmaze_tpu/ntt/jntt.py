@@ -24,6 +24,7 @@ import numpy as np
 
 from ..fields import jfield as jf
 from ..fields.constants import R_MOD
+from . import pntt
 from .domain import BasicDomain, StepDomain, MULT_GEN
 
 FR = jf.FR
@@ -117,17 +118,30 @@ def _divide_by_z_table(domain):
 # ---------------------------------------------------------------------------
 
 def _basic_fft(a, m: int, omega: int):
-    """In-order Cooley-Tukey DIT FFT matching _basic_serial_radix2_FFT."""
+    """In-order Cooley-Tukey DIT FFT matching _basic_serial_radix2_FFT.
+
+    On TPU every stage's butterflies run in one Pallas kernel (ntt/pntt.py);
+    elsewhere the XLA elementwise path is used."""
     perm, stages = _fft_tables(m, omega)
     a = jnp.take(a, jnp.asarray(perm), axis=0)
     span = 1
+    pallas = pntt.use_pallas()
     for tw in stages:
         blocks = m // (2 * span)
         v = a.reshape(blocks, 2, span, jf.N)
         lo, hi = v[:, 0], v[:, 1]
-        t = jf.mont_mul(FR, jnp.broadcast_to(jnp.asarray(tw), hi.shape), hi)
-        new_lo = jf.add(FR, lo, t)
-        new_hi = jf.sub(FR, lo, t)
+        if pallas:
+            twf = jnp.broadcast_to(jnp.asarray(tw), hi.shape)
+            nl, nh = pntt.butterfly(lo.reshape(-1, jf.N),
+                                    hi.reshape(-1, jf.N),
+                                    twf.reshape(-1, jf.N))
+            new_lo = nl.reshape(lo.shape)
+            new_hi = nh.reshape(hi.shape)
+        else:
+            t = jf.mont_mul(FR, jnp.broadcast_to(jnp.asarray(tw), hi.shape),
+                            hi)
+            new_lo = jf.add(FR, lo, t)
+            new_hi = jf.sub(FR, lo, t)
         a = jnp.stack([new_lo, new_hi], axis=1).reshape(m, jf.N)
         span *= 2
     return a
@@ -136,10 +150,15 @@ def _basic_fft(a, m: int, omega: int):
 def _scale(a, k: int):
     """Multiply every element by host constant k (Montgomery)."""
     c = jnp.asarray(jf.to_mont_host(FR, [k])[0])
-    return jf.mont_mul(FR, a, jnp.broadcast_to(c, a.shape))
+    b = jnp.broadcast_to(c, a.shape)
+    if pntt.use_pallas():
+        return pntt.mul_elementwise(a, b)
+    return jf.mont_mul(FR, a, b)
 
 
 def _mul_table(a, table_np):
+    if pntt.use_pallas():
+        return pntt.mul_elementwise(a, jnp.asarray(table_np))
     return jf.mont_mul(FR, a, jnp.asarray(table_np))
 
 

@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+
+def smap(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions (jax.shard_map keyword-only API)."""
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
 
 from ..curves import jcurve as jc
 from ..fields import jfield as jf
@@ -48,9 +53,7 @@ def sharded_msm(mesh: Mesh, curve: str, points, scalars, c: int = 13,
     pspec = (coord, coord, P("pts"))
     sspec = P("pts")
 
-    @partial(shard_map, mesh=mesh, in_specs=(pspec, sspec),
-             out_specs=(P(None), P(None), P(None)), check_vma=False)
-    def run(pts, sc):
+    def run_body(pts, sc):
         part = pp.msm(curve, pts, sc, c=c, lanes=lanes)
         # gather all partials: (n_dev, ...) on every device
         gx = jax.lax.all_gather(part[0], "pts")
@@ -62,6 +65,7 @@ def sharded_msm(mesh: Mesh, curve: str, points, scalars, c: int = 13,
             acc = jc.point_add(F, acc, (gx[i], gy[i], gz[i]))
         return acc
 
+    run = smap(run_body, mesh, (pspec, sspec), (P(None), P(None), P(None)))
     return run(points, scalars)
 
 
@@ -70,11 +74,10 @@ def sharded_field_inner_sum(mesh: Mesh, terms_mont):
     ICI, one canonical reduction. Demonstrates the linear-collective trick
     used by the sharded QAP matvec."""
 
-    @partial(shard_map, mesh=mesh, in_specs=P("pts"),
-             out_specs=P(None), check_vma=False)
-    def run(t):
+    def run_body(t):
         local = jnp.sum(t.astype(jnp.uint32), axis=0)  # lazy limb sum
         total = jax.lax.psum(local, "pts")
         return jf.canon_wide(jf.FR, total)
 
+    run = smap(run_body, mesh, P("pts"), P(None))
     return run(terms_mont)

@@ -85,9 +85,14 @@ class CircuitContext:
 
 
 class ZkTx:
-    """Top-level service: Gen*/Verify*Proof for the four circuits."""
+    """Top-level service: Gen*/Verify*Proof for the four circuits.
 
-    def __init__(self, key_dir: str):
+    `merkle_depth` selects the in-circuit tree depth for deposit (8 is the
+    reference default, 20 the production setting — config.Config.merkle_depth);
+    the key files in `key_dir` must have been generated for the same depth."""
+
+    def __init__(self, key_dir: str, merkle_depth: int = MK.DEPTH):
+        self.merkle_depth = merkle_depth
         self.circuits = {name: CircuitContext(name, key_dir)
                          for name in ("mint", "send", "deposit", "redeem")}
 
@@ -176,7 +181,7 @@ class ZkTx:
         sn_s = compute_prf(sk, r_s)
         cmtS = note_s.cm()
 
-        tree = MK.IncrementalMerkleTree()
+        tree = MK.IncrementalMerkleTree(self.merkle_depth)
         wit = None
         for cmt in cmts_for_merkle:
             if wit is not None:
@@ -191,7 +196,7 @@ class ZkTx:
         path = wit.path()
 
         pb = Protoboard()
-        g = DepositGadget(pb)
+        g = DepositGadget(pb, depth=self.merkle_depth)
         g.generate_witness(note_s, note_old, note, cmtS, note_old.cm(),
                            note.cm(), rt, path, sn_s, sk)
         proof = self.circuits["deposit"].prover.prove(

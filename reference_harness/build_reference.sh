@@ -18,6 +18,20 @@ mkdir -p "$OUT"
 
 GMPLIB=/usr/lib/x86_64-linux-gnu/libgmp.so.10
 
+build_oracles() {
+  # bit-exactness oracles (our own harness code linking the reference stack);
+  # each needs its circuit's include dir (Note.h etc.)
+  for spec in oracle:mint oracle_send:send oracle_redeem:redeem \
+              oracle_deposit:deposit; do
+    o=${spec%%:*}; d=${spec##*:}
+    if [ ! -f "$OUT/$o" ] || [ "$o.cpp" -nt "$OUT/$o" ]; then
+      echo "CXX $o"
+      g++ $CXXFLAGS -I"$REF/src/$d" "$o.cpp" "${common_objs[@]}" "$GMPLIB" \
+        /lib/x86_64-linux-gnu/libcrypto.so.3 -o "$OUT/$o"
+    fi
+  done
+}
+
 INC="-I$SHIMS -I$REF/src -I$REF/depends/libsnark -I$REF/depends/libsnark/depends/libff -I$REF/depends/libsnark/depends/libfqfft"
 DEFS="-DCURVE_ALT_BN128 -DNO_PROCPS"
 CXXFLAGS="-std=c++17 -O2 -march=native -w -fPIC $DEFS $INC"
@@ -69,4 +83,5 @@ for c in mint redeem send deposit; do
   build_circuit $c &
 done
 wait
+build_oracles
 echo "BUILD OK"

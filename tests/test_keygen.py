@@ -70,3 +70,22 @@ def test_vk_serialization_verifies_with_reference(keypair_and_proof, tmp_path):
     res = subprocess.run([ORACLE, "verify", vk_path, proof_path, primary_path],
                          capture_output=True, text=True, timeout=300)
     assert "VERIFY_OK" in res.stdout, res.stdout + res.stderr
+
+def test_prove_batch(keypair_and_proof):
+    """vmapped multi-proof dispatch: every proof in the batch verifies, and
+    the deterministic (r, s) path matches the single-proof prover."""
+    from blockmaze_tpu.groth16 import keys as K
+    pb, pk, vk, proof = keypair_and_proof
+    dpk = K.build_device_pk(pk)
+    prover = Prover(dpk, lanes=8, window=8)
+    w2 = 424242
+    pb2 = toy_circuit(w2 * w2 % R_MOD, w2)
+    instances = [(pb.primary_input(), pb.auxiliary_input()),
+                 (pb2.primary_input(), pb2.auxiliary_input())]
+    proofs = prover.prove_batch(instances, rs=[7, 3], ss=[9, 5])
+    assert verifier.verify(vk, pb.primary_input(), proofs[0])
+    assert verifier.verify(vk, pb2.primary_input(), proofs[1])
+    # r=7, s=9 must reproduce the single-proof result exactly
+    assert proofs[0] == proof
+    # cross-instance mixups rejected
+    assert not verifier.verify(vk, pb.primary_input(), proofs[1])
