@@ -13,7 +13,8 @@ vector selects so the same traced graph serves every lane.
 
 from __future__ import annotations
 
-from functools import partial
+import os
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,20 @@ from ..fields import jfield as jf
 from ..fields.constants import Q_MOD
 
 FQ = jf.FQ
+
+
+def use_vm() -> bool:
+    """Whether point formulas run through the rolled formula-VM scan.
+
+    XLA:CPU's optimization passes are superlinear in the count of while ops:
+    a straight-line Jacobian add (~30 field ops, each mont_mul = 2 fori_loops)
+    costs 13 s (G1) / 53 s (G2) to compile, and the full Pippenger graph blew
+    past the 9.5-minute driver budget. Recording each formula once as an SSA
+    program and executing it with ONE lax.scan instance cuts that ~15x at
+    identical results. TPU keeps the straight-line form (Mosaic/Pallas fuses
+    it; the VM's dynamic register indexing would defeat that)."""
+    return (os.environ.get("BMTPU_VM", "1") != "0"
+            and jax.default_backend() != "tpu")
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +157,86 @@ class Fq2Ops:
 
 
 # ---------------------------------------------------------------------------
+# Formula VM: record a straight-line field-op program once, run as ONE scan
+# ---------------------------------------------------------------------------
+
+class _RecF:
+    """F-like recorder: values are register indices, ops append SSA steps."""
+
+    def __init__(self, n_inputs: int):
+        self.steps = []          # (opcode, src_a, src_b); dst = implicit SSA
+        self.next = n_inputs
+
+    def _emit(self, op, a, b):
+        self.steps.append((op, a, b))
+        r = self.next
+        self.next += 1
+        return r
+
+    def mul(self, a, b):
+        return self._emit(0, a, b)
+
+    def sqr(self, a):
+        return self._emit(0, a, a)
+
+    def add(self, a, b):
+        return self._emit(1, a, b)
+
+    def sub(self, a, b):
+        return self._emit(2, a, b)
+
+
+@lru_cache(maxsize=None)
+def _program(kind: str):
+    """Record the SSA program for a point formula. Returns
+    (steps, n_inputs, outputs) with outputs a dict of register ids."""
+    if kind == "dbl":
+        rec = _RecF(3)
+        X3, Y3, Z3 = _dbl(rec, 0, 1, 2)
+        return tuple(rec.steps), 3, {"X3": X3, "Y3": Y3, "Z3": Z3}
+    if kind == "add":
+        rec = _RecF(6)
+        X3, Y3, Z3, H, r = _add_core(rec, 0, 1, 2, 3, 4, 5)
+        DX, DY, DZ = _dbl(rec, 0, 1, 2)
+        return tuple(rec.steps), 6, {"X3": X3, "Y3": Y3, "Z3": Z3, "H": H,
+                                     "r": r, "DX": DX, "DY": DY, "DZ": DZ}
+    assert kind == "madd"
+    rec = _RecF(5)
+    X3, Y3, Z3, H, r = _madd_core(rec, 0, 1, 2, 3, 4)
+    DX, DY, DZ = _dbl(rec, 0, 1, 2)
+    return tuple(rec.steps), 5, {"X3": X3, "Y3": Y3, "Z3": Z3, "H": H,
+                                 "r": r, "DX": DX, "DY": DY, "DZ": DZ}
+
+
+def _run_program(F, kind: str, inputs):
+    """Execute a recorded program with a single lax.scan whose body holds one
+    instance of each field op (mul/add/sub selected by lax.switch)."""
+    steps, n_in, outs = _program(kind)
+    inputs = jnp.broadcast_arrays(*inputs)
+    R = n_in + len(steps)
+    regs = jnp.concatenate(
+        [jnp.stack(inputs),
+         jnp.zeros((len(steps),) + inputs[0].shape, inputs[0].dtype)])
+    ops = jnp.asarray([s[0] for s in steps], jnp.int32)
+    sa = jnp.asarray([s[1] for s in steps], jnp.int32)
+    sb = jnp.asarray([s[2] for s in steps], jnp.int32)
+    dst = jnp.arange(n_in, R, dtype=jnp.int32)
+
+    def body(regs, x):
+        # all three ops + scalar-predicate selects: lax.switch lowers to
+        # nested conditionals that cost ~10x more XLA:CPU compile time
+        op, a, b, d = x
+        va = jnp.take(regs, a, axis=0)
+        vb = jnp.take(regs, b, axis=0)
+        res = jnp.where(op == 0, F.mul(va, vb),
+                        jnp.where(op == 1, F.add(va, vb), F.sub(va, vb)))
+        return jax.lax.dynamic_update_index_in_dim(regs, res, d, 0), None
+
+    regs, _ = jax.lax.scan(body, regs, (ops, sa, sb, dst))
+    return {k: regs[v] if v >= n_in else inputs[v] for k, v in outs.items()}
+
+
+# ---------------------------------------------------------------------------
 # Generic Jacobian group law
 # ---------------------------------------------------------------------------
 
@@ -164,18 +259,8 @@ def _dbl(F, X, Y, Z):
     return X3, Y3, Z3
 
 
-def point_double(F, P):
-    X, Y, Z = P
-    X3, Y3, Z3 = _dbl(F, X, Y, Z)
-    # doubling of infinity stays infinity automatically (Z3 = 2*Y*0 = 0)
-    return (X3, Y3, Z3)
-
-
-def point_add(F, P, Q):
-    """Full Jacobian + Jacobian addition (add-2007-bl) with branchless
-    handling of inf/equal/negated operands."""
-    X1, Y1, Z1 = P
-    X2, Y2, Z2 = Q
+def _add_core(F, X1, Y1, Z1, X2, Y2, Z2):
+    """Straight-line part of add-2007-bl; also used by the formula recorder."""
     Z1Z1 = F.sqr(Z1)
     Z2Z2 = F.sqr(Z2)
     U1 = F.mul(X1, Z2Z2)
@@ -192,14 +277,57 @@ def point_add(F, P, Q):
     SJ = F.mul(S1, J)
     Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.add(SJ, SJ))
     Z3 = F.mul(F.sub(F.sub(F.sqr(F.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+    return X3, Y3, Z3, H, r
+
+
+def _madd_core(F, X1, Y1, Z1, Qx, Qy):
+    """Straight-line part of madd-2007-bl (Z2 = 1)."""
+    Z1Z1 = F.sqr(Z1)
+    U2 = F.mul(Qx, Z1Z1)
+    S2 = F.mul(Qy, F.mul(Z1, Z1Z1))
+    H = F.sub(U2, X1)
+    HH = F.sqr(H)
+    I = F.add(HH, HH)
+    I = F.add(I, I)
+    J = F.mul(H, I)
+    r = F.sub(S2, Y1)
+    r = F.add(r, r)
+    V = F.mul(X1, I)
+    X3 = F.sub(F.sub(F.sqr(r), J), F.add(V, V))
+    YJ = F.mul(Y1, J)
+    Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.add(YJ, YJ))
+    Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1), HH)
+    return X3, Y3, Z3, H, r
+
+
+def point_double(F, P):
+    X, Y, Z = P
+    if use_vm():
+        o = _run_program(F, "dbl", (X, Y, Z))
+        return (o["X3"], o["Y3"], o["Z3"])
+    X3, Y3, Z3 = _dbl(F, X, Y, Z)
+    # doubling of infinity stays infinity automatically (Z3 = 2*Y*0 = 0)
+    return (X3, Y3, Z3)
+
+
+def point_add(F, P, Q):
+    """Full Jacobian + Jacobian addition (add-2007-bl) with branchless
+    handling of inf/equal/negated operands."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    if use_vm():
+        o = _run_program(F, "add", (X1, Y1, Z1, X2, Y2, Z2))
+        X3, Y3, Z3, H, r = o["X3"], o["Y3"], o["Z3"], o["H"], o["r"]
+        DX, DY, DZ = o["DX"], o["DY"], o["DZ"]
+    else:
+        X3, Y3, Z3, H, r = _add_core(F, X1, Y1, Z1, X2, Y2, Z2)
+        DX, DY, DZ = _dbl(F, X1, Y1, Z1)
 
     p_inf = F.is_zero(Z1)
     q_inf = F.is_zero(Z2)
     same_x = F.is_zero(H)
     same_y = F.is_zero(r)
     is_dbl = same_x & same_y & ~p_inf & ~q_inf
-
-    DX, DY, DZ = _dbl(F, X1, Y1, Z1)
 
     X3 = F.select(is_dbl, DX, X3)
     Y3 = F.select(is_dbl, DY, Y3)
@@ -218,28 +346,19 @@ def point_mixed_add(F, P, Qx, Qy, q_inf):
     """Jacobian + affine (Z2 = 1) addition (madd-2007-bl);
     q_inf is a bool tensor marking affine-infinity lanes."""
     X1, Y1, Z1 = P
-    Z1Z1 = F.sqr(Z1)
-    U2 = F.mul(Qx, Z1Z1)
-    S2 = F.mul(Qy, F.mul(Z1, Z1Z1))
-    H = F.sub(U2, X1)
-    HH = F.sqr(H)
-    I = F.add(HH, HH)
-    I = F.add(I, I)
-    J = F.mul(H, I)
-    r = F.sub(S2, Y1)
-    r = F.add(r, r)
-    V = F.mul(X1, I)
-    X3 = F.sub(F.sub(F.sqr(r), J), F.add(V, V))
-    YJ = F.mul(Y1, J)
-    Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.add(YJ, YJ))
-    Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1), HH)
+    if use_vm():
+        o = _run_program(F, "madd", (X1, Y1, Z1, Qx, Qy))
+        X3, Y3, Z3, H, r = o["X3"], o["Y3"], o["Z3"], o["H"], o["r"]
+        DX, DY, DZ = o["DX"], o["DY"], o["DZ"]
+    else:
+        X3, Y3, Z3, H, r = _madd_core(F, X1, Y1, Z1, Qx, Qy)
+        DX, DY, DZ = _dbl(F, X1, Y1, Z1)
 
     p_inf = F.is_zero(Z1)
     same_x = F.is_zero(H)
     same_y = F.is_zero(r)
     is_dbl = same_x & same_y & ~p_inf & ~q_inf
 
-    DX, DY, DZ = _dbl(F, X1, Y1, Z1)
     X3 = F.select(is_dbl, DX, X3)
     Y3 = F.select(is_dbl, DY, Y3)
     Z3 = F.select(is_dbl, DZ, Z3)

@@ -60,10 +60,16 @@ def sharded_msm(mesh: Mesh, curve: str, points, scalars, c: int = 13,
         gy = jax.lax.all_gather(part[1], "pts")
         gz = jax.lax.all_gather(part[2], "pts")
         n_dev = gx.shape[0]
-        acc = (gx[0], gy[0], gz[0])
-        for i in range(1, n_dev):
-            acc = jc.point_add(F, acc, (gx[i], gy[i], gz[i]))
-        return acc
+
+        # fold with a rolled loop: ONE point_add instance in the graph
+        # (a Python loop would inline n_dev-1 copies and multiply compile
+        # time, the resource the multichip dryrun is budgeted on)
+        def fold(i, acc):
+            Q = (jnp.take(gx, i, axis=0), jnp.take(gy, i, axis=0),
+                 jnp.take(gz, i, axis=0))
+            return jc.point_add(F, acc, Q)
+
+        return jax.lax.fori_loop(1, n_dev, fold, (gx[0], gy[0], gz[0]))
 
     run = smap(run_body, mesh, (pspec, sspec), (P(None), P(None), P(None)))
     return run(points, scalars)
