@@ -28,11 +28,11 @@ class Config:
     # in-circuit Merkle depth (VNT.h:6 = 8; 20 is the production setting)
     merkle_depth: int = dataclasses.field(
         default_factory=lambda: _env("MERKLE_DEPTH", 8))
-    # MSM kernel tuning
+    # MSM kernel tuning (window 0 = auto-select per query size)
     msm_lanes: int = dataclasses.field(
         default_factory=lambda: _env("LANES", 8192))
     msm_window: int = dataclasses.field(
-        default_factory=lambda: _env("WINDOW", 13))
+        default_factory=lambda: _env("WINDOW", 0))
     # mesh shape for multi-chip sharding ("" = single chip)
     mesh_axis_points: int = dataclasses.field(
         default_factory=lambda: _env("MESH_POINTS", 1))

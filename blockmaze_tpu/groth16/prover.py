@@ -26,12 +26,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import get_config
 from ..curves import host_curve as HC
 from ..curves import jcurve as jc
 from ..fields import jfield as jf
 from ..fields.constants import R_MOD
 from ..msm import pippenger as pp
 from ..serialization.libsnark_io import Proof
+from ..utils.profiling import profiler
 from . import qap
 from .keys import DevicePK
 
@@ -71,12 +73,14 @@ class Prover:
     single compiled Pippenger graph (compile time dominates turnaround on
     CPU; on TPU it also maximises XLA program cache hits)."""
 
-    def __init__(self, dpk: DevicePK, lanes: int = 1024,
+    def __init__(self, dpk: DevicePK, lanes: Optional[int] = None,
                  window: Optional[int] = None):
+        cfg = get_config()
         self.dpk = dpk
         self.domain = dpk.domain
-        self.lanes = lanes
-        self.window = window or pp.default_window(dpk.num_variables)
+        self.lanes = lanes or cfg.msm_lanes
+        self.window = (window or cfg.msm_window
+                       or pp.default_window(dpk.num_variables))
         nA = _next_pow2(dpk.num_variables + 1)
         self.nA = nA
         self.A = _to_device_points(dpk.A, nA)
@@ -117,8 +121,13 @@ class Prover:
         self.verbose = bool(os.environ.get("BMTPU_VERBOSE"))
 
     def _t(self, label, t0):
-        if self.verbose:
-            print(f"    [prover] {label}: {time.time()-t0:.2f}s", flush=True)
+        """Phase bracket: records into the block profiler (the framework's
+        enter_block/leave_block analogue — profiling.hpp:43-46 brackets the
+        same prover phases in the reference) and prints when verbose."""
+        dt = time.time() - t0
+        profiler.totals[label] = profiler.totals.get(label, 0.0) + dt
+        if self.verbose or profiler.enabled:
+            print(f"    [prover] {label}: {dt:.2f}s", flush=True)
         return time.time()
 
     def prove(self, primary: List[int], aux: List[int],
@@ -138,31 +147,31 @@ class Prover:
 
         # --- QAP H coefficients -----------------------------------------
         H_std = self._qap_fn(wires_mont)
-        if self.verbose:
+        if self.verbose or profiler.enabled:
             np.asarray(H_std[:1])
         t0 = self._t("qap H (NTT pipeline)", t0)
 
         # --- 4 MSMs (dispatched asynchronously) -------------------------
         c, lanes = self.window, self.lanes
-        At = pp.msm("g1", self.A, _pad_scalars(wires_std, self.nA),
+        At = pp.msm_auto("g1", self.A, _pad_scalars(wires_std, self.nA),
                     c=c, lanes=lanes)
-        if self.verbose:
+        if self.verbose or profiler.enabled:
             jax.block_until_ready(At)
         t0 = self._t("MSM A", t0)
         b_scalars = jnp.take(wires_std, self.B_idx, axis=0)
-        Bt2 = pp.msm("g2", self.B2, _pad_scalars(b_scalars, self.nB),
+        Bt2 = pp.msm_auto("g2", self.B2, _pad_scalars(b_scalars, self.nB),
                      c=c, lanes=lanes)
-        if self.verbose:
+        if self.verbose or profiler.enabled:
             jax.block_until_ready(Bt2)
         t0 = self._t("MSM B (G2)", t0)
-        Bt1 = pp.msm("g1", self.B1, _pad_scalars(b_scalars, self.nB),
+        Bt1 = pp.msm_auto("g1", self.B1, _pad_scalars(b_scalars, self.nB),
                      c=c, lanes=lanes)
-        Ht = pp.msm("g1", self.H, _pad_scalars(H_std, self.nH),
+        Ht = pp.msm_auto("g1", self.H, _pad_scalars(H_std, self.nH),
                     c=c, lanes=lanes)
-        Lt = pp.msm("g1", self.L,
+        Lt = pp.msm_auto("g1", self.L,
                     _pad_scalars(wires_std[dpk.primary_input_size + 1:],
                                  self.nL), c=c, lanes=lanes)
-        if self.verbose:
+        if self.verbose or profiler.enabled:
             jax.block_until_ready(Lt)
         t0 = self._t("MSM B1/H/L", t0)
 
@@ -217,7 +226,7 @@ class Prover:
         def bmsm(curve, pts, scal, pad_to):
             padded = jax.vmap(lambda s: _pad_scalars(s, pad_to))(scal)
             return jax.vmap(
-                lambda s: pp.msm(curve, pts, s, c=c, lanes=lanes))(padded)
+                lambda s: pp.msm_auto(curve, pts, s, c=c, lanes=lanes))(padded)
 
         At = bmsm("g1", self.A, wires_std, self.nA)
         b_scalars = jnp.take(wires_std, self.B_idx, axis=1)

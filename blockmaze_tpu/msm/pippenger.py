@@ -297,6 +297,57 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
     return tuple(x[0] for x in res)
 
 
+@partial(jax.jit, static_argnums=0)
+def msm_compact(curve: str, points, scalars):
+    """MSM as batched MSB-first double-and-add + rolled batch fold.
+
+    Traced graph holds THREE point-op instances total (double, mixed-add,
+    add) vs Pippenger's ~8 across six loop bodies — the variant for backends
+    where compile time, not FLOPs, is the budget (XLA:CPU test meshes and the
+    multi-chip dryrun). Bit-identical results to msm()."""
+    F = jc.FqOps if curve == "g1" else jc.Fq2Ops
+    X, Y, inf = points
+    n = X.shape[0]
+    acc = jc.points_zero(F, X)
+
+    def bit_body(i, acc):
+        acc = jc.point_double(F, acc)
+        b = SCALAR_BITS - 1 - i
+        limb = jax.lax.dynamic_index_in_dim(scalars, b // 16, axis=1,
+                                            keepdims=False)
+        bit = (limb >> (b % 16).astype(jnp.uint32)) & jnp.uint32(1)
+        return jc.point_mixed_add(F, acc, X, Y, (bit == 0) | inf)
+
+    acc = jax.lax.fori_loop(0, SCALAR_BITS, bit_body, acc)
+
+    # inclusive Hillis-Steele fold over the batch: one point_add instance,
+    # log2(n) iterations; element n-1 ends up holding the total
+    pos = jnp.arange(n)
+    steps = max(1, (n - 1).bit_length())
+
+    def sum_body(i, pts):
+        shift = jnp.left_shift(jnp.int32(1), i)
+        prev = tuple(jnp.roll(p, shift, axis=0) for p in pts)
+        s = jc.point_add(F, prev, pts)
+        take = pos >= shift
+        return tuple(F.select(take, sv, pv) for sv, pv in zip(s, pts))
+
+    acc = jax.lax.fori_loop(0, steps, sum_body, acc)
+    return tuple(p[-1] for p in acc)
+
+
+def msm_auto(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
+    """Kernel dispatch: Pippenger on TPU (throughput-optimal), compact
+    double-and-add elsewhere (compile-time-optimal — XLA:CPU spends minutes
+    optimizing the Pippenger while-op nest; see use_vm() in curves.jcurve).
+    BMTPU_MSM={pippenger,compact} overrides."""
+    mode = _os.environ.get("BMTPU_MSM", "auto")
+    if mode == "pippenger" or (mode == "auto"
+                               and jax.default_backend() == "tpu"):
+        return msm(curve, points, scalars, c=c, lanes=lanes)
+    return msm_compact(curve, points, scalars)
+
+
 # ---------------------------------------------------------------------------
 # Host-side scalar conversion
 # ---------------------------------------------------------------------------

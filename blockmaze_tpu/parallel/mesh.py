@@ -54,7 +54,7 @@ def sharded_msm(mesh: Mesh, curve: str, points, scalars, c: int = 13,
     sspec = P("pts")
 
     def run_body(pts, sc):
-        part = pp.msm(curve, pts, sc, c=c, lanes=lanes)
+        part = pp.msm_auto(curve, pts, sc, c=c, lanes=lanes)
         # gather all partials: (n_dev, ...) on every device
         gx = jax.lax.all_gather(part[0], "pts")
         gy = jax.lax.all_gather(part[1], "pts")

@@ -224,6 +224,33 @@ class Proof:
 
 
 # ---------------------------------------------------------------------------
+# Proof wire ABI: the tx format's hex encoding
+# ---------------------------------------------------------------------------
+# Mirrors string_proof_as_hex (mintcgo.cpp:176-187): 8 big-endian 64-hex-char
+# coordinates A.x‖A.y‖B.x.c1‖B.x.c0‖B.y.c1‖B.y.c0‖C.x‖C.y — 512 chars — and
+# the verify-side decode (mintcgo.cpp:344-404). Values are standard-form
+# (non-Montgomery) Fq integers; infinity never occurs in a valid proof.
+
+def _hex64(x: int) -> str:
+    return format(x, "064x")
+
+
+def proof_to_hex(p: Proof) -> str:
+    (ax, ay, _), ((bx0, bx1), (by0, by1), _), (cx, cy, _) = p.a, p.b, p.c
+    return "".join(map(_hex64, (ax, ay, bx1, bx0, by1, by0, cx, cy)))
+
+
+def proof_from_hex(s: str) -> Proof:
+    if len(s) != 512:
+        raise ValueError(f"proof hex must be 512 chars, got {len(s)}")
+    v = [int(s[i * 64:(i + 1) * 64], 16) for i in range(8)]
+    ax, ay, bx1, bx0, by1, by0, cx, cy = v
+    return Proof(a=(ax, ay, False),
+                 b=((bx0, bx1), (by0, by1), False),
+                 c=(cx, cy, False))
+
+
+# ---------------------------------------------------------------------------
 # Top-level readers
 # ---------------------------------------------------------------------------
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
+from .. import config
 from ..circuits.deposit import DepositGadget
 from ..circuits.mint import MintGadget
 from ..circuits.redeem import RedeemGadget
@@ -91,8 +92,12 @@ class ZkTx:
     reference default, 20 the production setting — config.Config.merkle_depth);
     the key files in `key_dir` must have been generated for the same depth."""
 
-    def __init__(self, key_dir: str, merkle_depth: int = MK.DEPTH):
-        self.merkle_depth = merkle_depth
+    def __init__(self, key_dir: Optional[str] = None,
+                 merkle_depth: Optional[int] = None):
+        cfg = config.get_config()
+        self.merkle_depth = (cfg.merkle_depth if merkle_depth is None
+                             else merkle_depth)
+        key_dir = key_dir or cfg.key_dir
         self.circuits = {name: CircuitContext(name, key_dir)
                          for name in ("mint", "send", "deposit", "redeem")}
 
@@ -113,10 +118,17 @@ class ZkTx:
                            value_s, sk)
         proof = self.circuits["mint"].prover.prove(
             pb.primary_input(), pb.auxiliary_input())
-        return proof, pb.primary_input()
+        return io.proof_to_hex(proof), pb.primary_input()
 
-    def verify_mint_proof(self, proof: io.Proof, cmtA_old: bytes,
+    @staticmethod
+    def _decode(proof) -> io.Proof:
+        """Accept the tx wire encoding (512-hex string, mintcgo.cpp:344-404)
+        or an already-decoded Proof."""
+        return io.proof_from_hex(proof) if isinstance(proof, str) else proof
+
+    def verify_mint_proof(self, proof, cmtA_old: bytes,
                           sn_old: bytes, cmtA: bytes, value_s: int) -> bool:
+        proof = self._decode(proof)
         primary = MintGadget.witness_map(cmtA_old, sn_old, cmtA, value_s)
         return gver.verify(self.circuits["mint"].vk, primary, proof)
 
@@ -137,10 +149,11 @@ class ZkTx:
                            note_s.cm(), note.cm(), sk, pk_sender)
         proof = self.circuits["send"].prover.prove(
             pb.primary_input(), pb.auxiliary_input())
-        return proof, pb.primary_input()
+        return io.proof_to_hex(proof), pb.primary_input()
 
-    def verify_send_proof(self, proof: io.Proof, cmtA_old: bytes,
+    def verify_send_proof(self, proof, cmtA_old: bytes,
                           sn_old: bytes, cmtS: bytes, cmtA: bytes) -> bool:
+        proof = self._decode(proof)
         primary = SendGadget.witness_map(cmtA_old, sn_old, cmtS, cmtA)
         return gver.verify(self.circuits["send"].vk, primary, proof)
 
@@ -158,10 +171,11 @@ class ZkTx:
                            value_s, sk)
         proof = self.circuits["redeem"].prover.prove(
             pb.primary_input(), pb.auxiliary_input())
-        return proof, pb.primary_input()
+        return io.proof_to_hex(proof), pb.primary_input()
 
-    def verify_redeem_proof(self, proof: io.Proof, cmtA_old: bytes,
+    def verify_redeem_proof(self, proof, cmtA_old: bytes,
                             sn_old: bytes, cmtA: bytes, value_s: int) -> bool:
+        proof = self._decode(proof)
         primary = RedeemGadget.witness_map(cmtA_old, sn_old, cmtA, value_s)
         return gver.verify(self.circuits["redeem"].vk, primary, proof)
 
@@ -201,11 +215,12 @@ class ZkTx:
                            note.cm(), rt, path, sn_s, sk)
         proof = self.circuits["deposit"].prover.prove(
             pb.primary_input(), pb.auxiliary_input())
-        return proof, pb.primary_input()
+        return io.proof_to_hex(proof), pb.primary_input()
 
-    def verify_deposit_proof(self, proof: io.Proof, rt: bytes,
+    def verify_deposit_proof(self, proof, rt: bytes,
                              pk_recv: bytes, cmtB_old: bytes, sn_old: bytes,
                              cmtB: bytes, sn_s: bytes) -> bool:
+        proof = self._decode(proof)
         primary = DepositGadget.witness_map(rt, pk_recv, cmtB_old, sn_old,
                                             cmtB, sn_s)
         return gver.verify(self.circuits["deposit"].vk, primary, proof)
