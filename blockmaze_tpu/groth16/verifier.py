@@ -23,7 +23,15 @@ from ..serialization.libsnark_io import Proof, VerificationKey
 
 def accumulate_input(vk: VerificationKey, primary: List[int]):
     """acc = first + sum_i primary[i] * rest[i] (accumulation_vector
-    accumulate_chunk with offset 0)."""
+    accumulate_chunk with offset 0).
+
+    The input may be SHORTER than the vk's accumulation domain (weak IC:
+    r1cs_gg_ppzksnark.tcc:533 accumulates only primary_input.size() terms)
+    but never longer — the reference asserts domain >= input size."""
+    if len(primary) > vk.gamma_ABC_domain:
+        raise ValueError(
+            f"primary input length {len(primary)} exceeds the vk's "
+            f"accumulation domain {vk.gamma_ABC_domain}")
     acc = (vk.gamma_ABC_first[0], vk.gamma_ABC_first[1], vk.gamma_ABC_first[2])
     for idx, point in vk.gamma_ABC_rest:
         if idx < len(primary):

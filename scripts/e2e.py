@@ -24,7 +24,9 @@ parser = argparse.ArgumentParser()
 parser.add_argument("circuits", nargs="*",
                     default=["mint", "send", "redeem", "deposit"])
 parser.add_argument("--platform", default="cpu")
-parser.add_argument("--lanes", type=int, default=2048)
+parser.add_argument("--lanes", type=int, default=None,
+                    help="MSM lanes (default: 32768 on TPU backends — the "
+                    "bench-tuned value — else 2048)")
 parser.add_argument("--window", type=int, default=None)
 parser.add_argument("--repeat", type=int, default=1)
 args = parser.parse_args()
@@ -33,6 +35,8 @@ os.environ["JAX_PLATFORMS"] = args.platform
 import jax
 
 jax.config.update("jax_platforms", args.platform)
+if args.lanes is None:
+    args.lanes = 2048 if args.platform == "cpu" else 32768
 os.makedirs("/root/.cache/bmtpu_xla", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/bmtpu_xla")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -135,6 +139,11 @@ for circ in args.circuits:
     print(f"  pk load: {time.time()-t0:.1f}s  n={dpk.num_variables} "
           f"m={dpk.domain_size}")
 
+    # load the vk BEFORE proving: a missing/corrupt vk must fail fast, not
+    # after a multi-minute prove (getpvk.cpp writes pk then vk — a partial
+    # keygen leaves pk without vk)
+    vk = io.load_verification_key(os.path.join(PRFKEY, f"{circ}vk.txt"))
+
     t0 = time.time()
     pb = WITNESS[circ]()
     primary, aux = pb.primary_input(), pb.auxiliary_input()
@@ -149,7 +158,6 @@ for circ in args.circuits:
         proof = prover.prove(primary, aux)
         print(f"  prove repeat: {time.time()-t0:.2f}s")
 
-    vk = io.load_verification_key(os.path.join(PRFKEY, f"{circ}vk.txt"))
     t0 = time.time()
     ours = ver.verify(vk, primary, proof)
     print(f"  our verifier: {ours} ({time.time()-t0:.3f}s)")
