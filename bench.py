@@ -1,13 +1,17 @@
-"""Benchmark: Groth16 mint-circuit proofs/sec on the TPU stack.
+"""Benchmark: Groth16 proofs/sec on the TPU stack.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: single-core libsnark mint prove = 7.527 s/proof = 0.13286 proofs/s
-(reference_harness/BASELINE_MEASURED.md, measured on this machine from the
-unmodified reference binaries).
+Prints ONE JSON line. Primary metric = deposit-circuit proofs/sec (the
+BASELINE north star; reference single-core deposit prove = 27.061 s =
+0.0370 proofs/s, reference_harness/BASELINE_MEASURED.md). The same line
+carries mint proofs/s and witness-generation seconds (witness gen is ~2-3 s
+per deposit and would dominate at the 10x target, so it is measured and
+reported separately rather than hidden).
 
-Requires reference_harness/prfKey/mintpk.txt (generated once by
-reference_harness/build_reference.sh + mint_key); the parsed device-tensor
-form is cached as .npz next to it.
+Requires reference_harness/prfKey/*.txt (generated once by
+reference_harness/build_reference.sh + *_key); the parsed device-tensor
+form is cached as .npz next to each.
+
+BMTPU_BENCH_CIRCUITS=mint,deposit picks circuits (default both).
 """
 
 import json
@@ -18,64 +22,81 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-os.makedirs("/root/.cache/bmtpu_xla", exist_ok=True)
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/bmtpu_xla")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from blockmaze_tpu.utils.cachedirs import setup_caches
+setup_caches()
 
-BASELINE_MINT_PROOFS_PER_SEC = 1.0 / 7.527
+BASELINE = {"mint": 1.0 / 7.527, "deposit": 1.0 / 27.061,
+            "send": 1.0 / 10.251, "redeem": 1.0 / 7.582}
 
 LANES = int(os.environ.get("BMTPU_LANES", "32768"))
 WINDOW = int(os.environ.get("BMTPU_WINDOW", "13"))
 REPS = int(os.environ.get("BMTPU_REPS", "3"))
+CIRCUITS = os.environ.get("BMTPU_BENCH_CIRCUITS", "mint,deposit").split(",")
+
+PRFKEY = os.path.join(ROOT, "reference_harness", "prfKey")
+
+
+def build_witness(circ):
+    """Deterministic witness builders (shared with scripts/e2e.py)."""
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from witnesses import WITNESS
+    return WITNESS[circ]()
 
 
 def main():
-    from blockmaze_tpu.crypto import notes as NT
-    from blockmaze_tpu.r1cs.protoboard import Protoboard
-    from blockmaze_tpu.circuits.mint import MintGadget
     from blockmaze_tpu.groth16 import keys
     from blockmaze_tpu.groth16.prover import Prover
 
-    pk_path = os.path.join(ROOT, "reference_harness", "prfKey", "mintpk.txt")
-    if not os.path.exists(pk_path) and not os.path.exists(
-            os.path.join(os.path.dirname(pk_path),
-                         f"mintpk.v{keys.CACHE_VERSION}.npz")):
-        print(json.dumps({"metric": "mint_proofs_per_sec", "value": 0.0,
-                          "unit": "proofs/s", "vs_baseline": 0.0,
-                          "error": "reference keys not generated"}))
-        return
+    out = {"metric": "deposit_proofs_per_sec", "unit": "proofs/s",
+           "lanes": LANES, "window": WINDOW,
+           "backend": jax.default_backend()}
+    for circ in CIRCUITS:
+        circ = circ.strip()
+        pk_path = os.path.join(PRFKEY, f"{circ}pk.txt")
+        cached = os.path.join(PRFKEY, f"{circ}pk.v{keys.CACHE_VERSION}.npz")
+        if not (os.path.exists(pk_path) or os.path.exists(cached)):
+            out.setdefault("errors", []).append(
+                f"{circ}: reference keys not generated")
+            continue
+        dpk = keys.load_or_build(pk_path)
 
-    dpk = keys.load_or_build(pk_path)
+        t0 = time.time()
+        pb = build_witness(circ)
+        wit_s = time.time() - t0
+        primary, aux = pb.primary_input(), pb.auxiliary_input()
 
-    sk = NT.uint256_from_hex("1")
-    r_old = NT.uint256_from_hex("123456")
-    r = NT.uint256_from_hex("123")
-    sn_old = NT.compute_prf(sk, r_old)
-    note_old = NT.Note(6, sn_old, r_old)
-    note = NT.Note(13, NT.compute_prf(sk, r), r)
-    pb = Protoboard()
-    g = MintGadget(pb)
-    g.generate_witness(note_old, note, note_old.cm(), note.cm(), 7, sk)
-    primary, aux = pb.primary_input(), pb.auxiliary_input()
+        prover = Prover(dpk, lanes=LANES, window=WINDOW)
+        t0 = time.time()
+        prover.prove(primary, aux, r=1, s=2)  # warm-up (compile)
+        compile_s = time.time() - t0
 
-    prover = Prover(dpk, lanes=LANES, window=WINDOW)
-    # warm-up (compilation)
-    prover.prove(primary, aux, r=1, s=2)
+        t0 = time.time()
+        for i in range(REPS):
+            prover.prove(primary, aux, r=3 + i, s=5 + i)
+        dt = (time.time() - t0) / REPS
+        pps = 1.0 / dt
+        out[f"{circ}_proofs_per_sec"] = round(pps, 4)
+        out[f"{circ}_witness_sec"] = round(wit_s, 3)
+        out[f"{circ}_first_prove_sec"] = round(compile_s, 1)
+        out[f"{circ}_vs_baseline"] = round(pps / BASELINE[circ], 2)
+        # end-to-end rate including witness generation (the honest
+        # per-transaction number; reference baselines time only the prove)
+        out[f"{circ}_proofs_per_sec_with_witness"] = round(
+            1.0 / (dt + wit_s), 4)
 
-    t0 = time.time()
-    for i in range(REPS):
-        prover.prove(primary, aux, r=3 + i, s=5 + i)
-    dt = (time.time() - t0) / REPS
-
-    pps = 1.0 / dt
-    print(json.dumps({
-        "metric": "mint_proofs_per_sec",
-        "value": round(pps, 4),
-        "unit": "proofs/s",
-        "vs_baseline": round(pps / BASELINE_MINT_PROOFS_PER_SEC, 2),
-    }))
+    if "deposit_proofs_per_sec" in out:
+        out["value"] = out["deposit_proofs_per_sec"]
+        out["vs_baseline"] = out["deposit_vs_baseline"]
+    elif "mint_proofs_per_sec" in out:
+        out["metric"] = "mint_proofs_per_sec"
+        out["value"] = out["mint_proofs_per_sec"]
+        out["vs_baseline"] = out["mint_vs_baseline"]
+    else:
+        out["value"] = 0.0
+        out["vs_baseline"] = 0.0
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

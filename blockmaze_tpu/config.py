@@ -28,9 +28,12 @@ class Config:
     # in-circuit Merkle depth (VNT.h:6 = 8; 20 is the production setting)
     merkle_depth: int = dataclasses.field(
         default_factory=lambda: _env("MERKLE_DEPTH", 8))
-    # MSM kernel tuning (window 0 = auto-select per query size)
+    # MSM kernel tuning (window 0 = auto-select per query size;
+    # lanes 0 = backend-tuned default: 32768 on TPU — the bench-tuned
+    # value — 2048 on CPU where the segmented-reduction loop is compiled
+    # per lane-chunk)
     msm_lanes: int = dataclasses.field(
-        default_factory=lambda: _env("LANES", 8192))
+        default_factory=lambda: _env("LANES", 0))
     msm_window: int = dataclasses.field(
         default_factory=lambda: _env("WINDOW", 0))
     # mesh shape for multi-chip sharding ("" = single chip)

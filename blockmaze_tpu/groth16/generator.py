@@ -19,6 +19,7 @@ so they remain interoperable with the reference stack.
 from __future__ import annotations
 
 import secrets
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -169,6 +170,7 @@ def _table_to_device(table, g2: bool):
             jnp.asarray(inf).reshape(shape))
 
 
+@partial(jax.jit, static_argnums=0)
 def fixed_base_exp(curve: str, table_dev, scalars_std):
     """result_i = scalars_i * base via window-table gathers + W batched
     mixed-adds (rolled into one fori_loop instance). Returns Jacobian batch."""
@@ -251,21 +253,26 @@ def generate(pb: Protoboard, rng=None, chunk: int = 1 << 16):
     t_g1 = _table_to_device(_host_window_table_g1(g1), g2=False)
     t_g2 = _table_to_device(_host_window_table_g2(g2), g2=True)
 
-    def exp_g1(scalars: List[int]) -> list:
+    def _exp(curve, table, scalars: List[int]) -> list:
+        """Batched fixed-base exp with every dispatch PADDED to a power-of-
+        two length: all queries (A/H/L/B/IC) of all circuits then share one
+        compiled graph per curve instead of one per exact length (scalar 0
+        pads exponentiate to infinity and are sliced off)."""
         out = []
         for off in range(0, len(scalars), chunk):
-            s = jnp.asarray(jf.ints_to_limbs(scalars[off:off + chunk]))
+            part = scalars[off:off + chunk]
+            n = len(part)
+            padded = 1 << max(4, (n - 1).bit_length())
+            s = jnp.asarray(jf.ints_to_limbs(part + [0] * (padded - n)))
             out.extend(jacobian_to_affine_host(
-                "g1", fixed_base_exp("g1", t_g1, s)))
+                curve, fixed_base_exp(curve, table, s))[:n])
         return out
 
+    def exp_g1(scalars: List[int]) -> list:
+        return _exp("g1", t_g1, scalars)
+
     def exp_g2(scalars: List[int]) -> list:
-        out = []
-        for off in range(0, len(scalars), chunk):
-            s = jnp.asarray(jf.ints_to_limbs(scalars[off:off + chunk]))
-            out.extend(jacobian_to_affine_host(
-                "g2", fixed_base_exp("g2", t_g2, s)))
-        return out
+        return _exp("g2", t_g2, scalars)
 
     A_query = exp_g1(At)
     H_query = exp_g1(H_s)

@@ -44,16 +44,25 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def _to_device_points(t, pad_to: Optional[int] = None):
+def _to_device_points(t, pad_to: Optional[int] = None, mesh=None):
     """Move affine points to device, optionally padding with infinity rows so
     different queries share one compiled MSM graph shape (padding points are
-    masked out by the kernel's infinity handling)."""
+    masked out by the kernel's infinity handling). With a mesh, the point
+    rows are laid out sharded over the mesh's first axis (the MSM "pts"
+    axis), so no resharding transfer happens at prove time."""
     x, y, inf = t
     if pad_to is not None and pad_to > x.shape[0]:
         padn = pad_to - x.shape[0]
         x = np.concatenate([x, np.zeros((padn,) + x.shape[1:], x.dtype)])
         y = np.concatenate([y, np.zeros((padn,) + y.shape[1:], y.dtype)])
         inf = np.concatenate([inf, np.ones(padn, bool)])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ax = mesh.axis_names[0]
+        put = lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(ax, *([None] * (a.ndim - 1)))))
+        return (put(jnp.asarray(x)), put(jnp.asarray(y)),
+                put(jnp.asarray(inf)))
     return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
 
 
@@ -74,50 +83,147 @@ class Prover:
     CPU; on TPU it also maximises XLA program cache hits)."""
 
     def __init__(self, dpk: DevicePK, lanes: Optional[int] = None,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None, mesh=None):
         cfg = get_config()
         self.dpk = dpk
         self.domain = dpk.domain
-        self.lanes = lanes or cfg.msm_lanes
+        self.lanes = (lanes or cfg.msm_lanes
+                      or (32768 if jax.default_backend() == "tpu" else 2048))
         self.window = (window or cfg.msm_window
                        or pp.default_window(dpk.num_variables))
-        nA = _next_pow2(dpk.num_variables + 1)
+        self.mesh = mesh
+        n_dev = mesh.devices.size if mesh is not None else 1
+
+        def _pad(n):
+            # with a mesh, padded sizes must also cover n_dev for even
+            # sharding (powers of two, so max() suffices)
+            return max(_next_pow2(n), n_dev)
+
+        nA = _pad(dpk.num_variables + 1)
         self.nA = nA
-        self.A = _to_device_points(dpk.A, nA)
-        nB = _next_pow2(len(dpk.B_idx))
+        self.A = _to_device_points(dpk.A, nA, mesh)
+        nB = _pad(len(dpk.B_idx))
         self.nB = nB
-        self.B2 = _to_device_points(dpk.B2, nB)
-        self.B1 = _to_device_points(dpk.B1, nB)
+        self.B2 = _to_device_points(dpk.B2, nB, mesh)
+        self.B1 = _to_device_points(dpk.B1, nB, mesh)
         H = tuple(v[: self.domain.m - 1] for v in dpk.H)
-        nH = _next_pow2(self.domain.m - 1)
+        nH = _pad(self.domain.m - 1)
         self.nH = nH
-        self.H = _to_device_points(H, nH)
-        nL = _next_pow2(len(dpk.L[2]))
+        self.H = _to_device_points(H, nH, mesh)
+        nL = _pad(len(dpk.L[2]))
         self.nL = nL
-        self.L = _to_device_points(dpk.L, nL)
+        self.L = _to_device_points(dpk.L, nL, mesh)
         self.B_idx = jnp.asarray(dpk.B_idx)
-        # constraint matrices live on device (uploading ~200 MB of COO per
-        # proof through the host link dominated the QAP phase otherwise)
-        self.coos = (
-            (jnp.asarray(dpk.a_row), jnp.asarray(dpk.a_var),
-             jnp.asarray(dpk.a_coeff)),
-            (jnp.asarray(dpk.b_row), jnp.asarray(dpk.b_var),
-             jnp.asarray(dpk.b_coeff)),
-            (jnp.asarray(dpk.c_row), jnp.asarray(dpk.c_var),
-             jnp.asarray(dpk.c_coeff)),
-        )
         dom = self.domain
         meta = (dpk.num_constraints, dpk.primary_input_size)
 
-        @jax.jit
-        def _qap(wires_mont, coos):
-            H_mont = qap.qap_h_arrays(dom, meta, coos, wires_mont)
-            return jf.from_mont(FR, H_mont[: dom.m - 1])
+        # constraint matrices live on device (uploading ~200 MB of COO per
+        # proof through the host link dominated the QAP phase otherwise);
+        # in mesh mode the term arrays are sharded over the pts axis
+        use_sharded_qap = False
+        if mesh is not None:
+            from ..parallel import sqap
+            use_sharded_qap = sqap.can_shard_domain(dom, n_dev)
+        self._sharded_qap = use_sharded_qap
 
-        # coos passed as arguments (NOT closed over): closure-captured device
-        # arrays are baked into the jaxpr as constants, defeating both the
-        # persistent compile cache and cross-instance jit reuse
-        self._qap_fn = lambda w: _qap(w, self.coos)
+        def _coo_put(row, var, coeff):
+            if use_sharded_qap:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel import sqap
+                ax = mesh.axis_names[0]
+                row, var, coeff = sqap._pad_terms(row, var, coeff, n_dev,
+                                                  dom.m)
+                sh1 = NamedSharding(mesh, P(ax))
+                sh2 = NamedSharding(mesh, P(ax, None))
+                return (jax.device_put(jnp.asarray(row), sh1),
+                        jax.device_put(jnp.asarray(var), sh1),
+                        jax.device_put(jnp.asarray(coeff), sh2))
+            return (jnp.asarray(row), jnp.asarray(var), jnp.asarray(coeff))
+
+        self.coos = (
+            _coo_put(dpk.a_row, dpk.a_var, dpk.a_coeff),
+            _coo_put(dpk.b_row, dpk.b_var, dpk.b_coeff),
+            _coo_put(dpk.c_row, dpk.c_var, dpk.c_coeff),
+        )
+
+        # NTT tables ride as jit arguments too (jntt.qap_tables): baked-in
+        # tables blow the lowered module to ~465 MB and make trace/lower the
+        # dominant per-process cost on TPU
+        if use_sharded_qap:
+            from ..parallel import sntt
+            self._tabs = jax.device_put(sntt.sqap_tables(dom, n_dev))
+        else:
+            from ..ntt import jntt
+            self._tabs = jax.device_put(jntt.qap_tables(dom))
+
+        if use_sharded_qap:
+            from ..parallel import sqap
+
+            def _qap_body(wires_mont, coos, tabs):
+                H_mont = sqap.sharded_qap_h(mesh, dom, meta, coos,
+                                            wires_mont, tabs)
+                return jf.from_mont(FR, H_mont[: dom.m - 1])
+        else:
+            def _qap_body(wires_mont, coos, tabs):
+                H_mont = qap.qap_h_arrays(dom, meta, coos, wires_mont,
+                                          tables=tabs)
+                return jf.from_mont(FR, H_mont[: dom.m - 1])
+
+        # coos and NTT tables passed as arguments (NOT closed over):
+        # closure-captured device arrays are baked into the jaxpr as
+        # constants, defeating the persistent compile cache, the export
+        # artifact cache, and cross-instance jit reuse
+        self._qap_jit = [None]
+
+        def _qap_fn(w):
+            if self._qap_jit[0] is None:
+                if mesh is None:
+                    from ..utils import engine_cache as ec
+                    self._qap_jit[0] = ec.cached_jit(
+                        "qap", _qap_body, (w, self.coos, self._tabs))
+                else:
+                    self._qap_jit[0] = jax.jit(_qap_body)
+            return self._qap_jit[0](w, self.coos, self._tabs)
+
+        self._qap_fn = _qap_fn
+
+        # MSM dispatch: points-sharded over the mesh (psum/all-gather fold
+        # over ICI, parallel.mesh.sharded_msm) or the single-chip kernel.
+        # Single-chip callables are shape-specialised and ride the export
+        # artifact cache (utils.engine_cache) so fresh processes skip the
+        # multi-minute Pippenger trace.
+        c_, lanes_ = self.window, self.lanes
+        if mesh is not None:
+            from ..parallel import mesh as pm
+
+            def _mk(curve):
+                @jax.jit
+                def run(pts, sc):
+                    return pm.sharded_msm(mesh, curve, pts, sc,
+                                          c=c_, lanes=lanes_)
+                return run
+
+            self._msm = {"g1": _mk("g1"), "g2": _mk("g2")}
+        else:
+            from ..utils import engine_cache as ec
+            mode = os.environ.get("BMTPU_MSM", "auto")
+
+            def _mk(curve):
+                by_shape = {}
+
+                def call(pts, sc):
+                    k = (pts[0].shape, sc.shape)
+                    if k not in by_shape:
+                        fn = lambda p, s: pp.msm_auto(curve, p, s, c=c_,
+                                                      lanes=lanes_)
+                        by_shape[k] = ec.cached_jit(
+                            f"msm_{curve}", fn, (pts, sc),
+                            statics=f"c{c_}l{lanes_}m{mode}")
+                    return by_shape[k](pts, sc)
+
+                return call
+
+            self._msm = {"g1": _mk("g1"), "g2": _mk("g2")}
         self.verbose = bool(os.environ.get("BMTPU_VERBOSE"))
 
     def _t(self, label, t0):
@@ -152,25 +258,20 @@ class Prover:
         t0 = self._t("qap H (NTT pipeline)", t0)
 
         # --- 4 MSMs (dispatched asynchronously) -------------------------
-        c, lanes = self.window, self.lanes
-        At = pp.msm_auto("g1", self.A, _pad_scalars(wires_std, self.nA),
-                    c=c, lanes=lanes)
+        At = self._msm["g1"](self.A, _pad_scalars(wires_std, self.nA))
         if self.verbose or profiler.enabled:
             jax.block_until_ready(At)
         t0 = self._t("MSM A", t0)
         b_scalars = jnp.take(wires_std, self.B_idx, axis=0)
-        Bt2 = pp.msm_auto("g2", self.B2, _pad_scalars(b_scalars, self.nB),
-                     c=c, lanes=lanes)
+        Bt2 = self._msm["g2"](self.B2, _pad_scalars(b_scalars, self.nB))
         if self.verbose or profiler.enabled:
             jax.block_until_ready(Bt2)
         t0 = self._t("MSM B (G2)", t0)
-        Bt1 = pp.msm_auto("g1", self.B1, _pad_scalars(b_scalars, self.nB),
-                     c=c, lanes=lanes)
-        Ht = pp.msm_auto("g1", self.H, _pad_scalars(H_std, self.nH),
-                    c=c, lanes=lanes)
-        Lt = pp.msm_auto("g1", self.L,
-                    _pad_scalars(wires_std[dpk.primary_input_size + 1:],
-                                 self.nL), c=c, lanes=lanes)
+        Bt1 = self._msm["g1"](self.B1, _pad_scalars(b_scalars, self.nB))
+        Ht = self._msm["g1"](self.H, _pad_scalars(H_std, self.nH))
+        Lt = self._msm["g1"](self.L,
+                             _pad_scalars(wires_std[dpk.primary_input_size
+                                                    + 1:], self.nL))
         if self.verbose or profiler.enabled:
             jax.block_until_ready(Lt)
         t0 = self._t("MSM B1/H/L", t0)

@@ -56,15 +56,25 @@ def qap_h(domain, dpk, witness_mont):
         witness_mont)
 
 
-def qap_h_arrays(domain, meta, coos, witness_mont):
+def qap_h_arrays(domain, meta, coos, witness_mont, tables=None):
     """qap_h over explicit device-resident COO triples; `meta` =
-    (num_constraints, primary_input_size). The prover passes the triples as
-    jit ARGUMENTS so they are uploaded once per key and never baked into the
-    compiled program as constants."""
+    (num_constraints, primary_input_size). The prover passes the triples —
+    and the NTT twiddle/coset/vanishing tables (jntt.qap_tables) — as jit
+    ARGUMENTS so they are uploaded once per key and never baked into the
+    compiled program as constants (baked tables blow the lowered module to
+    ~465 MB and dominate per-process compile time)."""
     m = domain.m
     ncons, n_inp = meta
     (a_row, a_var, a_coeff), (b_row, b_var, b_coeff), \
         (c_row, c_var, c_coeff) = coos
+    T = tables
+
+    def _ifft(x):
+        return jntt.ifft(domain, x) if T is None else jntt.ifft_t(domain, x, T)
+
+    def _cfft(x):
+        return (jntt.coset_fft(domain, x) if T is None
+                else jntt.coset_fft_t(domain, x, T))
 
     aA = sparse_matvec(a_row, a_var, a_coeff, witness_mont, m)
     aB = sparse_matvec(b_row, b_var, b_coeff, witness_mont, m)
@@ -72,20 +82,21 @@ def qap_h_arrays(domain, meta, coos, witness_mont):
     rows = jnp.arange(ncons, ncons + n_inp + 1)
     aA = aA.at[rows].set(witness_mont[: n_inp + 1])
 
-    aA = jntt.ifft(domain, aA)
-    aB = jntt.ifft(domain, aB)
-    aA = jntt.coset_fft(domain, aA)
-    aB = jntt.coset_fft(domain, aB)
+    aA = _cfft(_ifft(aA))
+    aB = _cfft(_ifft(aB))
     if pntt.use_pallas():
         H = pntt.mul_elementwise(aA, aB)
     else:
         H = jf.mont_mul(FR, aA, aB)
 
     aC = sparse_matvec(c_row, c_var, c_coeff, witness_mont, m)
-    aC = jntt.ifft(domain, aC)
-    aC = jntt.coset_fft(domain, aC)
+    aC = _cfft(_ifft(aC))
 
     H = jf.sub(FR, H, aC)
-    H = jntt.divide_by_z_on_coset(domain, H)
-    H = jntt.icoset_fft(domain, H)
+    if T is None:
+        H = jntt.divide_by_z_on_coset(domain, H)
+        H = jntt.icoset_fft(domain, H)
+    else:
+        H = jntt.divide_by_z_t(H, T)
+        H = jntt.icoset_fft_t(domain, H, T)
     return H

@@ -117,13 +117,19 @@ def _divide_by_z_table(domain):
 # Core radix-2 FFT (power-of-two size)
 # ---------------------------------------------------------------------------
 
-def _basic_fft(a, m: int, omega: int):
-    """In-order Cooley-Tukey DIT FFT matching _basic_serial_radix2_FFT.
+def fft_with(a, m: int, perm, stages):
+    """In-order Cooley-Tukey DIT FFT matching _basic_serial_radix2_FFT, with
+    the permutation and per-stage twiddle tables passed as ARRAYS.
+
+    Passing tables as arguments instead of closure constants keeps them out
+    of the lowered StableHLO: with baked-in tables the mint QAP module is
+    ~465 MB of text and costs minutes of trace/lower/hash in EVERY process —
+    the dominant share of the TPU "compile tax" (the persistent compile
+    cache only skips the XLA compile step, never lowering).
 
     On TPU every stage's butterflies run in one Pallas kernel (ntt/pntt.py);
     elsewhere the XLA elementwise path is used."""
-    perm, stages = _fft_tables(m, omega)
-    a = jnp.take(a, jnp.asarray(perm), axis=0)
+    a = jnp.take(a, perm, axis=0)
     span = 1
     pallas = pntt.use_pallas()
     for tw in stages:
@@ -131,20 +137,27 @@ def _basic_fft(a, m: int, omega: int):
         v = a.reshape(blocks, 2, span, jf.N)
         lo, hi = v[:, 0], v[:, 1]
         if pallas:
-            twf = jnp.broadcast_to(jnp.asarray(tw), hi.shape)
+            twf = jnp.broadcast_to(tw, hi.shape)
             nl, nh = pntt.butterfly(lo.reshape(-1, jf.N),
                                     hi.reshape(-1, jf.N),
                                     twf.reshape(-1, jf.N))
             new_lo = nl.reshape(lo.shape)
             new_hi = nh.reshape(hi.shape)
         else:
-            t = jf.mont_mul(FR, jnp.broadcast_to(jnp.asarray(tw), hi.shape),
-                            hi)
+            t = jf.mont_mul(FR, jnp.broadcast_to(tw, hi.shape), hi)
             new_lo = jf.add(FR, lo, t)
             new_hi = jf.sub(FR, lo, t)
         a = jnp.stack([new_lo, new_hi], axis=1).reshape(m, jf.N)
         span *= 2
     return a
+
+
+def _basic_fft(a, m: int, omega: int):
+    """fft_with with host-computed tables inlined as constants (small-m
+    callers: tests, generator; the QAP pipeline passes tables as args)."""
+    perm, stages = _fft_tables(m, omega)
+    return fft_with(a, m, jnp.asarray(perm),
+                    tuple(jnp.asarray(t) for t in stages))
 
 
 def _scale(a, k: int):
@@ -191,6 +204,129 @@ def icoset_fft(domain, a, g: int = MULT_GEN):
 
 def divide_by_z_on_coset(domain, a):
     return _mul_table(a, _divide_by_z_table(domain))
+
+
+# ---------------------------------------------------------------------------
+# Table-parameterized pipeline (tables as jit ARGUMENTS, not constants)
+#
+# qap_tables(domain) builds one host-side pytree with every table the QAP
+# witness-map pipeline needs; the *_t ops consume it. This keeps hundreds of
+# MB of twiddle/coset data out of the lowered module — see fft_with.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def qap_tables(domain):
+    """Host pytree of every table used by the QAP pipeline for `domain`.
+    Upload once with jax.device_put and pass to qap.qap_h_arrays(tables=)."""
+    g = MULT_GEN
+    if isinstance(domain, BasicDomain):
+        m, omega = domain.m, domain.omega
+        perm, fwd = _fft_tables(m, omega)
+        _, inv = _fft_tables(m, pow(omega, -1, R_MOD))
+        return {
+            "perm": perm.astype(np.int32),
+            "fwd": tuple(fwd), "inv": tuple(inv),
+            "minv": jf.to_mont_host(FR, [pow(m, -1, R_MOD)])[0],
+            "coset": _coset_table(m, g),
+            "coset_inv": _coset_table(m, pow(g, -1, R_MOD)),
+            "zinv": _divide_by_z_table(domain),
+        }
+    d = domain
+    big_o = d.omega * d.omega % R_MOD
+    big_perm, big_fwd = _fft_tables(d.big_m, big_o)
+    _, big_inv = _fft_tables(d.big_m, pow(big_o, -1, R_MOD))
+    small_perm, small_fwd = _fft_tables(d.small_m, d.small_omega)
+    _, small_inv = _fft_tables(d.small_m, pow(d.small_omega, -1, R_MOD))
+    return {
+        "big_perm": big_perm.astype(np.int32),
+        "big_fwd": tuple(big_fwd), "big_inv": tuple(big_inv),
+        "small_perm": small_perm.astype(np.int32),
+        "small_fwd": tuple(small_fwd), "small_inv": tuple(small_inv),
+        "omega_pows": _coset_table(d.big_m, d.omega),
+        "omega_inv_pows": _coset_table(d.small_m, pow(d.omega, -1, R_MOD)),
+        "big_minv": jf.to_mont_host(FR, [pow(d.big_m, -1, R_MOD)])[0],
+        "small_minv": jf.to_mont_host(FR, [pow(d.small_m, -1, R_MOD)])[0],
+        "half": jf.to_mont_host(FR, [pow(2, -1, R_MOD)])[0],
+        "coset": _coset_table(d.m, g),
+        "coset_inv": _coset_table(d.m, pow(g, -1, R_MOD)),
+        "zinv": _divide_by_z_table(domain),
+    }
+
+
+def _scale_t(a, km):
+    b = jnp.broadcast_to(km, a.shape)
+    if pntt.use_pallas():
+        return pntt.mul_elementwise(a, b)
+    return jf.mont_mul(FR, a, b)
+
+
+def _mul_t(a, table):
+    if pntt.use_pallas():
+        return pntt.mul_elementwise(a, table)
+    return jf.mont_mul(FR, a, table)
+
+
+def fft_t(domain, a, T):
+    if isinstance(domain, BasicDomain):
+        return fft_with(a, domain.m, T["perm"], T["fwd"])
+    return _step_fft_t(domain, a, T)
+
+
+def ifft_t(domain, a, T):
+    if isinstance(domain, BasicDomain):
+        out = fft_with(a, domain.m, T["perm"], T["inv"])
+        return _scale_t(out, T["minv"])
+    return _step_ifft_t(domain, a, T)
+
+
+def coset_fft_t(domain, a, T):
+    return fft_t(domain, _mul_t(a, T["coset"]), T)
+
+
+def icoset_fft_t(domain, a, T):
+    return _mul_t(ifft_t(domain, a, T), T["coset_inv"])
+
+
+def divide_by_z_t(a, T):
+    return _mul_t(a, T["zinv"])
+
+
+def _step_fft_t(d: StepDomain, a, T):
+    big_m, small_m = d.big_m, d.small_m
+    compr = big_m // small_m
+    a_lo, a_hi = a[:big_m], a[big_m:]
+    pad_hi = jnp.concatenate(
+        [a_hi, jnp.zeros((big_m - small_m, jf.N), jnp.uint32)], axis=0)
+    c = jf.add(FR, a_lo, pad_hi)
+    dvec = jf.mont_mul(FR, T["omega_pows"], jf.sub(FR, a_lo, pad_hi))
+    e = dvec.reshape(compr, small_m, jf.N)
+    acc = e[0]
+    for j in range(1, compr):
+        acc = jf.add(FR, acc, e[j])
+    c = fft_with(c, big_m, T["big_perm"], T["big_fwd"])
+    eo = fft_with(acc, small_m, T["small_perm"], T["small_fwd"])
+    return jnp.concatenate([c, eo], axis=0)
+
+
+def _step_ifft_t(d: StepDomain, a, T):
+    big_m, small_m = d.big_m, d.small_m
+    compr = big_m // small_m
+    U0 = fft_with(a[:big_m], big_m, T["big_perm"], T["big_inv"])
+    U1 = fft_with(a[big_m:], small_m, T["small_perm"], T["small_inv"])
+    U0 = _scale_t(U0, T["big_minv"])
+    U1 = _scale_t(U1, T["small_minv"])
+
+    tmp = jf.mont_mul(FR, U0, T["omega_pows"])
+    tmp_r = tmp.reshape(compr, small_m, jf.N)
+    sub_acc = tmp_r[1]
+    for j in range(2, compr):
+        sub_acc = jf.add(FR, sub_acc, tmp_r[j])
+    U1 = jf.sub(FR, U1, sub_acc)
+    U1 = jf.mont_mul(FR, U1, T["omega_inv_pows"])
+
+    a_prefix = _scale_t(jf.add(FR, U0[:small_m], U1), T["half"])
+    b2 = _scale_t(jf.sub(FR, U0[:small_m], U1), T["half"])
+    return jnp.concatenate([a_prefix, U0[small_m:], b2], axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Cross-process artifact cache for traced+lowered jit programs (jax.export).
+
+The persistent XLA compilation cache (jax_compilation_cache_dir) only skips
+the *compile* step; tracing + lowering the big prover graphs is paid by every
+fresh process — for the G2 Pippenger MSM that is ~340 s of Python tracing of
+the formula-VM point kernels (measured on the TPU backend), the dominant
+share of the reference's "pk load" analogue (mintcgo.cpp:300-301 pays ~20 s;
+without this cache we paid ~17 min).
+
+An exported artifact (serialized StableHLO bytecode, jax.export) is keyed by
+
+    name - backend - code fingerprint - arg-shape/static-arg hash
+
+and reloaded in milliseconds; the embedded module then compiles through the
+persistent compilation cache, so a fresh process pays only executable
+deserialization. Artifacts live in BMTPU_EXPORT_CACHE
+(default /root/.cache/bmtpu_export) next to the XLA cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import jax
+
+CACHE_DIR = os.environ.get("BMTPU_EXPORT_CACHE", "/root/.cache/bmtpu_export")
+
+# compute-path sources: any change invalidates every artifact
+_SOURCES = [
+    "msm/pippenger.py", "curves/jcurve.py", "curves/pcurve.py",
+    "fields/jfield.py", "fields/kfield.py", "fields/constants.py",
+    "ntt/jntt.py", "ntt/pntt.py", "ntt/domain.py", "groth16/qap.py",
+]
+
+_FP = None
+
+
+def code_fingerprint() -> str:
+    global _FP
+    if _FP is None:
+        import blockmaze_tpu
+        root = os.path.dirname(os.path.abspath(blockmaze_tpu.__file__))
+        h = hashlib.sha256()
+        for rel in _SOURCES:
+            with open(os.path.join(root, rel), "rb") as f:
+                h.update(f.read())
+        h.update(jax.__version__.encode())
+        # env toggles that change the traced graph
+        h.update(os.environ.get("BMTPU_PALLAS", "1").encode())
+        _FP = h.hexdigest()[:16]
+    return _FP
+
+
+def enabled() -> bool:
+    """Artifact caching is for the TPU backend (where tracing the Pallas
+    point kernels dominates); CPU test runs compile the cheap compact
+    variants and keep plain jit. BMTPU_EXPORT=0 disables."""
+    return (os.environ.get("BMTPU_EXPORT", "1") != "0"
+            and jax.default_backend() == "tpu")
+
+
+def _arg_hash(args_tree, statics: str) -> str:
+    leaves, treedef = jax.tree.flatten(args_tree)
+    h = hashlib.sha256(statics.encode())
+    h.update(str(treedef).encode())
+    for leaf in leaves:
+        h.update(str((leaf.shape, str(leaf.dtype))).encode())
+    return h.hexdigest()[:16]
+
+
+def cached_jit(name: str, fn, args_tree, statics: str = ""):
+    """Return a callable equivalent to jax.jit(fn) specialised to the arg
+    shapes in `args_tree` (a pytree of arrays or ShapeDtypeStructs), loading
+    or storing a jax.export artifact when enabled. `statics` is a string
+    encoding of any closed-over static configuration (window/lanes/...)."""
+    if not enabled():
+        return jax.jit(fn)
+    from jax import export as jexport
+    structs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args_tree)
+    key = f"{name}-{jax.default_backend()}-{code_fingerprint()}-" \
+          f"{_arg_hash(args_tree, statics)}"
+    path = os.path.join(CACHE_DIR, key + ".jaxexport")
+    exp = None
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                exp = jexport.deserialize(f.read())
+        except Exception:
+            exp = None  # stale/corrupt artifact: re-export below
+    if exp is None:
+        exp = jexport.export(jax.jit(fn))(*structs)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exp.serialize())
+        os.replace(tmp, path)
+    return jax.jit(exp.call)

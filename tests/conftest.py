@@ -24,9 +24,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: the big prover graphs compile once, then every
 # later pytest invocation reuses them.
-os.makedirs("/root/.cache/bmtpu_xla", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/bmtpu_xla")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from blockmaze_tpu.utils.cachedirs import setup_caches
+setup_caches()
 
 import random
 

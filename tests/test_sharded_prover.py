@@ -1,0 +1,83 @@
+"""Mesh-aware Prover: proofs on the 8-device CPU mesh must be bit-identical
+to the single-chip prover (same deterministic r, s), for both evaluation
+domain kinds:
+
+  basic_radix2 (deposit/send shape)  — toy circuit sized to m = 256
+  step_radix2  (mint/redeem shape)   — toy circuit sized to m = 192 = 128+64
+
+Also covers the sharded step-domain FFT against the single-chip jntt
+reference (step_radix2_domain.tcc decomposition over the mesh)."""
+
+import jax
+import numpy as np
+import pytest
+
+from blockmaze_tpu.fields import jfield as jf
+from blockmaze_tpu.fields.constants import R_MOD
+from blockmaze_tpu.groth16 import generator, keys, verifier
+from blockmaze_tpu.groth16.prover import Prover
+from blockmaze_tpu.ntt import domain as D, jntt
+from blockmaze_tpu.parallel import mesh as pm, sntt, sqap
+from blockmaze_tpu.r1cs.examples import chain_circuit
+
+FR = jf.FR
+
+
+def _keypair(ncons):
+    pb = chain_circuit(ncons)
+    rng_vals = iter([11, 13, 17, 19, 23])
+    pk, vk = generator.generate(pb, rng=lambda: next(rng_vals))
+    return pb, keys.build_device_pk(pk), vk
+
+
+@pytest.mark.parametrize("ncons,kind", [(250, "basic"), (170, "step")])
+def test_sharded_prover_bit_identical(ncons, kind):
+    pb, dpk, vk = _keypair(ncons)
+    assert dpk.domain.kind == kind, dpk.domain
+    mesh = pm.make_mesh(8)
+
+    single = Prover(dpk, lanes=8, window=8)
+    sharded = Prover(dpk, lanes=8, window=8, mesh=mesh)
+    assert sharded._sharded_qap, "toy circuit must exercise the sharded QAP"
+
+    p1 = single.prove(pb.primary_input(), pb.auxiliary_input(), r=7, s=9)
+    p2 = sharded.prove(pb.primary_input(), pb.auxiliary_input(), r=7, s=9)
+    assert p1.a == p2.a and p1.b == p2.b and p1.c == p2.c
+    assert verifier.verify(vk, pb.primary_input(), p2)
+
+
+def test_sharded_step_fft_matches_single_chip():
+    mesh = pm.make_mesh(8)
+    dom = D.get_evaluation_domain(172)   # 192 = 128 + 64 step domain
+    assert dom.kind == "step" and dom.m == 192
+    a = jf.to_mont_host(FR, [pow(5, i, R_MOD) for i in range(dom.m)])
+    a = jax.numpy.asarray(a)
+    got = np.asarray(sntt.s_fft(mesh, dom, a))
+    ref = np.asarray(jntt.fft(dom, a))
+    assert np.array_equal(got, ref)
+    got_i = np.asarray(sntt.s_ifft(mesh, dom, a))
+    ref_i = np.asarray(jntt.ifft(dom, a))
+    assert np.array_equal(got_i, ref_i)
+
+
+def test_sharded_matvec_matches_segment_sum():
+    mesh = pm.make_mesh(8)
+    rng = np.random.RandomState(3)
+    m, nvars, T = 64, 40, 333   # T deliberately not a multiple of 8
+    row = rng.randint(0, m, T).astype(np.int32)
+    var = rng.randint(0, nvars, T).astype(np.int32)
+    coeff_i = [int(rng.randint(1, 1 << 30)) for _ in range(T)]
+    wit_i = [int(rng.randint(1, 1 << 30)) for _ in range(nvars)]
+    coeff = jf.to_mont_host(FR, coeff_i)
+    wit = jf.to_mont_host(FR, wit_i)
+
+    rowp, varp, coeffp = sqap._pad_terms(row, var, coeff, 8, m)
+    got = np.asarray(sqap.sharded_matvec(
+        mesh, jax.numpy.asarray(rowp), jax.numpy.asarray(varp),
+        jax.numpy.asarray(coeffp), jax.numpy.asarray(wit), m))
+
+    want = [0] * m
+    for t in range(T):
+        want[row[t]] = (want[row[t]] + coeff_i[t] * wit_i[var[t]]) % R_MOD
+    got_ints = jf.from_mont_host(FR, got)
+    assert got_ints == want

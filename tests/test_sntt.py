@@ -63,7 +63,9 @@ def test_fft_axis0_batched(rng):
     for _ in range(3):
         cols.append(_rand_poly(rng, dom.m))
     batched = jnp.stack(cols, axis=1)  # (m, 3, 16)
-    out = sntt.fft_axis0(batched, dom.m, dom.omega)
+    perm, stages = jntt._fft_tables(dom.m, dom.omega)
+    out = sntt.fft_axis0(batched, dom.m, jnp.asarray(perm),
+                         tuple(jnp.asarray(t) for t in stages))
     for j, c in enumerate(cols):
         want = np.asarray(jntt.fft(dom, c))
         assert np.array_equal(np.asarray(out[:, j]), want)
