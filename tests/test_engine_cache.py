@@ -1,0 +1,81 @@
+"""Export artifact cache: round-trip through a serialized jax.export
+artifact must produce identical results to direct jit, artifacts must be
+keyed by code fingerprint + shapes, and the host-keyed XLA cache dir must
+be stable per host."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blockmaze_tpu.utils import cachedirs, engine_cache as ec
+
+
+def test_host_fingerprint_stable():
+    assert cachedirs.host_fingerprint() == cachedirs.host_fingerprint()
+    assert len(cachedirs.host_fingerprint()) == 10
+
+
+def test_code_fingerprint_covers_compute_sources():
+    fp = ec.code_fingerprint()
+    assert len(fp) == 16
+    # every named source must exist (a rename would silently stop
+    # invalidating artifacts)
+    import blockmaze_tpu
+    root = os.path.dirname(os.path.abspath(blockmaze_tpu.__file__))
+    for rel in ec._SOURCES:
+        assert os.path.exists(os.path.join(root, rel)), rel
+
+
+def test_arg_hash_distinguishes_shapes_and_statics():
+    a = jnp.zeros((4, 16), jnp.uint32)
+    b = jnp.zeros((8, 16), jnp.uint32)
+    h1 = ec._arg_hash((a,), "c13")
+    assert h1 == ec._arg_hash((a,), "c13")
+    assert h1 != ec._arg_hash((b,), "c13")
+    assert h1 != ec._arg_hash((a,), "c12")
+
+
+def test_cached_jit_roundtrip(tmp_path, monkeypatch):
+    """Force-enable on CPU: second cached_jit call must load the artifact
+    from disk and compute the same values."""
+    monkeypatch.setattr(ec, "CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(ec, "enabled", lambda: True)
+
+    calls = []
+
+    def fn(x, y):
+        calls.append(1)
+        return jnp.dot(x, y) + 1.0
+
+    x = jnp.arange(12.0).reshape(3, 4)
+    y = jnp.arange(8.0).reshape(4, 2)
+    f1 = ec.cached_jit("t_dot", fn, (x, y))
+    r1 = f1(x, y)
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].name.endswith(".jaxexport")
+
+    # fresh wrapper: loads from disk, fn must NOT be traced again
+    calls.clear()
+    f2 = ec.cached_jit("t_dot", fn, (x, y))
+    r2 = f2(x, y)
+    assert not calls, "artifact load must not re-trace the function"
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(r1), np.asarray(fn(x, y)))
+
+
+def test_cached_jit_corrupt_artifact_recovers(tmp_path, monkeypatch):
+    monkeypatch.setattr(ec, "CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(ec, "enabled", lambda: True)
+
+    def fn(x):
+        return x * 2
+
+    x = jnp.ones((4,))
+    ec.cached_jit("t_mul", fn, (x,))
+    art = next(tmp_path.iterdir())
+    art.write_bytes(b"garbage")
+    f = ec.cached_jit("t_mul", fn, (x,))
+    assert np.array_equal(np.asarray(f(x)), np.asarray(x * 2))
