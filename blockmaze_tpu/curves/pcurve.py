@@ -112,6 +112,20 @@ def mixed_add(curve: str, P, Qx, Qy, q_inf):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def mixed_add_noexc(curve: str, P, Qx, Qy, q_inf):
+    """Same semantics as jcurve.point_mixed_add_noexc (blinded-accumulator
+    fast path: no doubling/infinity branches), VMEM-resident."""
+    F = _ops(curve)
+
+    def kernel(x, y, z, qx, qy, qi, ox, oy, oz):
+        r = jc.point_mixed_add_noexc(F, (x[:], y[:], z[:]), qx[:], qy[:],
+                                     qi[:] != 0)
+        ox[:], oy[:], oz[:] = r
+
+    return _run(curve, kernel, [P[0], P[1], P[2], Qx, Qy], [q_inf], 3)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def add(curve: str, P, Q):
     """Same semantics as jcurve.point_add, VMEM-resident."""
     F = _ops(curve)

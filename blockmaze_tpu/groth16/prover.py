@@ -198,9 +198,9 @@ class Prover:
 
             def _mk(curve):
                 @jax.jit
-                def run(pts, sc):
+                def run(pts, sc, blind):
                     return pm.sharded_msm(mesh, curve, pts, sc,
-                                          c=c_, lanes=lanes_)
+                                          c=c_, lanes=lanes_, blind=blind)
                 return run
 
             self._msm = {"g1": _mk("g1"), "g2": _mk("g2")}
@@ -211,15 +211,16 @@ class Prover:
             def _mk(curve):
                 by_shape = {}
 
-                def call(pts, sc):
+                def call(pts, sc, blind):
                     k = (pts[0].shape, sc.shape)
                     if k not in by_shape:
-                        fn = lambda p, s: pp.msm_auto(curve, p, s, c=c_,
-                                                      lanes=lanes_)
+                        fn = lambda p, s, b: pp.msm_auto(curve, p, s, c=c_,
+                                                         lanes=lanes_,
+                                                         blind=b)
                         by_shape[k] = ec.cached_jit(
-                            f"msm_{curve}", fn, (pts, sc),
+                            f"msm_{curve}", fn, (pts, sc, blind),
                             statics=f"c{c_}l{lanes_}m{mode}")
-                    return by_shape[k](pts, sc)
+                    return by_shape[k](pts, sc, blind)
 
                 return call
 
@@ -236,6 +237,13 @@ class Prover:
             print(f"    [prover] {label}: {dt:.2f}s", flush=True)
         return time.time()
 
+    @staticmethod
+    def _sync(t):
+        """Force completion of a device value for phase timing: transfer one
+        tiny slice (block_until_ready returns before execution finishes on
+        the axon tunnel backend, so it cannot bracket phases)."""
+        np.asarray(jax.tree.leaves(t)[0])[:1]
+
     def prove(self, primary: List[int], aux: List[int],
               r: Optional[int] = None, s: Optional[int] = None) -> Proof:
         dpk = self.dpk
@@ -243,45 +251,59 @@ class Prover:
         assert len(aux) == dpk.aux_input_size
         r = secrets.randbelow(R_MOD) if r is None else r
         s = secrets.randbelow(R_MOD) if s is None else s
+        timing = self.verbose or profiler.enabled
 
         t0 = time.time()
         # const-padded assignment (1, wires...) in both forms
         wires = [1] + list(primary) + list(aux)
         wires_mont = jnp.asarray(jf.to_mont_host(FR, wires))
         wires_std = jnp.asarray(jf.ints_to_limbs(wires))
+        # fresh per-proof blinds for the exception-free Pippenger stream
+        # (pippenger.msm blind= docstring); ignored by the compact kernel
+        R1_host, b1 = pp.make_blind("g1")
+        R2_host, b2 = pp.make_blind("g2")
+        b1 = (jnp.asarray(b1[0]), jnp.asarray(b1[1]))
+        b2 = (jnp.asarray(b2[0]), jnp.asarray(b2[1]))
         t0 = self._t("wire conversion", t0)
 
         # --- QAP H coefficients -----------------------------------------
         H_std = self._qap_fn(wires_mont)
-        if self.verbose or profiler.enabled:
-            np.asarray(H_std[:1])
+        if timing:
+            self._sync(H_std)
         t0 = self._t("qap H (NTT pipeline)", t0)
 
         # --- 4 MSMs (dispatched asynchronously) -------------------------
-        At = self._msm["g1"](self.A, _pad_scalars(wires_std, self.nA))
-        if self.verbose or profiler.enabled:
-            jax.block_until_ready(At)
+        At = self._msm["g1"](self.A, _pad_scalars(wires_std, self.nA), b1)
+        if timing:
+            self._sync(At)
         t0 = self._t("MSM A", t0)
         b_scalars = jnp.take(wires_std, self.B_idx, axis=0)
-        Bt2 = self._msm["g2"](self.B2, _pad_scalars(b_scalars, self.nB))
-        if self.verbose or profiler.enabled:
-            jax.block_until_ready(Bt2)
+        Bt2 = self._msm["g2"](self.B2, _pad_scalars(b_scalars, self.nB), b2)
+        if timing:
+            self._sync(Bt2)
         t0 = self._t("MSM B (G2)", t0)
-        Bt1 = self._msm["g1"](self.B1, _pad_scalars(b_scalars, self.nB))
-        Ht = self._msm["g1"](self.H, _pad_scalars(H_std, self.nH))
+        Bt1 = self._msm["g1"](self.B1, _pad_scalars(b_scalars, self.nB), b1)
+        Ht = self._msm["g1"](self.H, _pad_scalars(H_std, self.nH), b1)
         Lt = self._msm["g1"](self.L,
                              _pad_scalars(wires_std[dpk.primary_input_size
-                                                    + 1:], self.nL))
-        if self.verbose or profiler.enabled:
-            jax.block_until_ready(Lt)
+                                                    + 1:], self.nL), b1)
+        if timing:
+            self._sync(Lt)
         t0 = self._t("MSM B1/H/L", t0)
 
         # --- host combine (a handful of scalar muls) --------------------
-        At_h = jc.g1_jacobian_to_host(tuple(v[None] for v in At))[0]
-        Bt2_h = jc.g2_jacobian_to_host(tuple(v[None] for v in Bt2))[0]
-        Bt1_h = jc.g1_jacobian_to_host(tuple(v[None] for v in Bt1))[0]
-        Ht_h = jc.g1_jacobian_to_host(tuple(v[None] for v in Ht))[0]
-        Lt_h = jc.g1_jacobian_to_host(tuple(v[None] for v in Lt))[0]
+        def _g1(t):
+            h = jc.g1_jacobian_to_host(tuple(v[None] for v in t[:3]))[0]
+            return pp.unblind_msm("g1", h, np.asarray(t[3]), R1_host,
+                                  self.window)
+
+        At_h = _g1(At)
+        Bt2_h = pp.unblind_msm(
+            "g2", jc.g2_jacobian_to_host(tuple(v[None] for v in Bt2[:3]))[0],
+            np.asarray(Bt2[3]), R2_host, self.window)
+        Bt1_h = _g1(Bt1)
+        Ht_h = _g1(Ht)
+        Lt_h = _g1(Lt)
         t0 = self._t("device->host + combine", t0)
 
         g1_A = HC.g1_add(HC.g1_add(dpk.alpha_g1, At_h),
@@ -323,25 +345,38 @@ class Prover:
         H_std = jax.vmap(self._qap_fn)(wires_mont)
 
         c, lanes = self.window, self.lanes
+        R1_host, b1 = pp.make_blind("g1")
+        R2_host, b2 = pp.make_blind("g2")
+        b1 = (jnp.asarray(b1[0]), jnp.asarray(b1[1]))
+        b2 = (jnp.asarray(b2[0]), jnp.asarray(b2[1]))
 
-        def bmsm(curve, pts, scal, pad_to):
+        def bmsm(curve, pts, scal, pad_to, blind):
             padded = jax.vmap(lambda s: _pad_scalars(s, pad_to))(scal)
             return jax.vmap(
-                lambda s: pp.msm_auto(curve, pts, s, c=c, lanes=lanes))(padded)
+                lambda s: pp.msm_auto(curve, pts, s, c=c, lanes=lanes,
+                                      blind=blind))(padded)
 
-        At = bmsm("g1", self.A, wires_std, self.nA)
+        At = bmsm("g1", self.A, wires_std, self.nA, b1)
         b_scalars = jnp.take(wires_std, self.B_idx, axis=1)
-        Bt2 = bmsm("g2", self.B2, b_scalars, self.nB)
-        Bt1 = bmsm("g1", self.B1, b_scalars, self.nB)
-        Ht = bmsm("g1", self.H, H_std, self.nH)
+        Bt2 = bmsm("g2", self.B2, b_scalars, self.nB, b2)
+        Bt1 = bmsm("g1", self.B1, b_scalars, self.nB, b1)
+        Ht = bmsm("g1", self.H, H_std, self.nH, b1)
         Lt = bmsm("g1", self.L, wires_std[:, dpk.primary_input_size + 1:],
-                  self.nL)
+                  self.nL, b1)
 
-        At_h = jc.g1_jacobian_to_host(At)
-        Bt2_h = jc.g2_jacobian_to_host(Bt2)
-        Bt1_h = jc.g1_jacobian_to_host(Bt1)
-        Ht_h = jc.g1_jacobian_to_host(Ht)
-        Lt_h = jc.g1_jacobian_to_host(Lt)
+        def _hg1(t):
+            pts = jc.g1_jacobian_to_host(t[:3])
+            w = np.asarray(t[3])
+            return [pp.unblind_msm("g1", p, w[i], R1_host, c)
+                    for i, p in enumerate(pts)]
+
+        At_h = _hg1(At)
+        w2 = np.asarray(Bt2[3])
+        Bt2_h = [pp.unblind_msm("g2", p, w2[i], R2_host, c)
+                 for i, p in enumerate(jc.g2_jacobian_to_host(Bt2[:3]))]
+        Bt1_h = _hg1(Bt1)
+        Ht_h = _hg1(Ht)
+        Lt_h = _hg1(Lt)
 
         proofs = []
         for i in range(B):

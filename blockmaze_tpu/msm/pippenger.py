@@ -55,6 +55,12 @@ def _k_mixed_add(curve, F, P, px, py, pinf):
     return jc.point_mixed_add(F, P, px, py, pinf)
 
 
+def _k_mixed_add_noexc(curve, F, P, px, py, pinf):
+    if USE_PALLAS():
+        return pcv.mixed_add_noexc(curve, P, px, py, pinf)
+    return jc.point_mixed_add_noexc(F, P, px, py, pinf)
+
+
 def _k_add(curve, F, P, Q):
     if USE_PALLAS():
         return pcv.add(curve, P, Q)
@@ -97,11 +103,23 @@ def _zeros_pts(F, curve, batch):
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
-def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
+def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
+        blind=None):
     """points = (X, Y, inf) affine Montgomery tensors; scalars = (n, 16)
     uint32 standard-form (non-Montgomery) limbs. curve in {"g1", "g2"}.
     Returns a single Jacobian point (coordinate tensors without batch dim).
-    """
+
+    blind: optional affine Montgomery pair (Rx, Ry) of a RANDOM group element
+    R (fresh per proof; generated host-side from secret randomness). When
+    given, every accumulator run is seeded with R instead of infinity, which
+    makes the exceptional cases of the hot mixed-add (acc == ±Q, acc == ∞)
+    cryptographically impossible, so the stream loop runs the exception-free
+    formula (point_mixed_add_noexc) — ~40% fewer field muls. The surplus
+    R-multiples are tracked exactly with integer bucket counts riding the
+    same scatter/scan/triangle pipeline; the per-window multiplicities are
+    returned as a (n_windows,) uint32 vector and the caller subtracts
+    (Σ_w 2^{cw}·wts[w])·R host-side (see unblind_msm). Return value becomes
+    (X, Y, Z, wts)."""
     F = jc.FqOps if curve == "g1" else jc.Fq2Ops
     X, Y, inf = points
     n = X.shape[0]
@@ -156,14 +174,24 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
         return px, py, pinf
 
     buckets = _zeros_pts(F, curve, total_buckets)
-    acc = _zeros_pts(F, curve, T)
+    cnt = jnp.zeros((total_buckets,), jnp.uint32)
+    if blind is None:
+        lane_init = _zeros_pts(F, curve, T)
+        madd = _k_mixed_add
+    else:
+        bx, by = blind
+        Rx = jnp.broadcast_to(bx, (T,) + bx.shape)
+        Ry = jnp.broadcast_to(by, (T,) + by.shape)
+        lane_init = (Rx, Ry, F.one_like(Rx))
+        madd = _k_mixed_add_noexc
+    acc = lane_init
     head_sum = _zeros_pts(F, curve, T)
     init_key = skeys[0]
     head_key = jnp.full((T,), DROP, jnp.uint32)
     seen_change = jnp.zeros((T,), bool)
 
     def body(s, state):
-        buckets, acc, cur_key, head_key, head_sum, seen_change = state
+        buckets, cnt, acc, cur_key, head_key, head_sum, seen_change = state
         k = skeys[s]
         px, py, pinf = _unpack(stream[s], k)
 
@@ -172,6 +200,8 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
         widx = jnp.where(flush, cur_key, DROP).astype(jnp.int32)
         buckets = tuple(b.at[widx].set(a, mode="drop")
                         for b, a in zip(buckets, acc))
+        if blind is not None:
+            cnt = cnt.at[widx].set(jnp.ones((T,), jnp.uint32), mode="drop")
 
         new_head = is_new & ~seen_change
         head_key = jnp.where(new_head, cur_key, head_key)
@@ -179,14 +209,13 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
                          for a, h in zip(acc, head_sum))
         seen_change = seen_change | is_new
 
-        zero = _zeros_pts(F, curve, T)
-        acc = tuple(F.select(is_new, z, a) for z, a in zip(zero, acc))
-        acc = _k_mixed_add(curve, F, acc, px, py, pinf)
-        return (buckets, acc, k, head_key, head_sum, seen_change)
+        acc = tuple(F.select(is_new, z, a) for z, a in zip(lane_init, acc))
+        acc = madd(curve, F, acc, px, py, pinf)
+        return (buckets, cnt, acc, k, head_key, head_sum, seen_change)
 
-    state = (buckets, acc, init_key, head_key, head_sum, seen_change)
-    buckets, acc, cur_key, head_key, head_sum, seen_change = jax.lax.fori_loop(
-        0, L, body, state)
+    state = (buckets, cnt, acc, init_key, head_key, head_sum, seen_change)
+    (buckets, cnt, acc, cur_key, head_key, head_sum,
+     seen_change) = jax.lax.fori_loop(0, L, body, state)
 
     # ---- 3. boundary combine ------------------------------------------
     # per lane, in key-sorted order: (head_key, head_sum) then
@@ -200,6 +229,11 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
     bkeys = jnp.stack([head_key, cur_key], axis=1).reshape(-1)      # (2T,)
     bpts = tuple(jnp.stack([h, a], axis=1).reshape((-1,) + h.shape[1:])
                  for h, a in zip(head_sum, acc))
+    # per-partial blind counts: the head partial carries one R iff the lane
+    # completed a first run (seen_change); the tail accumulator always
+    # carries one (dropped with its key if the lane never saw a live item)
+    bcnt = jnp.stack([seen_change.astype(jnp.uint32),
+                      jnp.ones((T,), jnp.uint32)], axis=1).reshape(-1)
     # flag-based segmented inclusive scan, Hillis-Steele over a fori_loop so
     # point_add is instantiated ONCE in the graph (associative_scan would
     # inline the combine ~2·log(n) times and blow up compile time)
@@ -209,22 +243,27 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
     pos = jnp.arange(nb)
 
     def seg_body(i, state):
-        pts, fl = state
+        pts, cn, fl = state
         shift = jnp.left_shift(jnp.int32(1), i)
         prev = tuple(jnp.roll(p, shift, axis=0) for p in pts)
+        prev_cn = jnp.roll(cn, shift, axis=0)
         prev_fl = jnp.roll(fl, shift, axis=0)
         valid = pos >= shift
         s = _k_add(curve, F, prev, pts)
         take = valid & ~fl  # no segment start in (j-shift, j]
         pts = tuple(F.select(take, sv, pv) for sv, pv in zip(s, pts))
+        cn = jnp.where(take, prev_cn + cn, cn)
         fl = fl | (valid & prev_fl)
-        return (pts, fl)
+        return (pts, cn, fl)
 
-    (bpts, _) = jax.lax.fori_loop(0, steps, seg_body, (bpts, flags))
+    (bpts, bcnt, _) = jax.lax.fori_loop(0, steps, seg_body,
+                                        (bpts, bcnt, flags))
     run_end = jnp.concatenate([bkeys[:-1] != bkeys[1:], jnp.array([True])])
     widx = jnp.where(run_end & (bkeys < DROP), bkeys, DROP).astype(jnp.int32)
     buckets = tuple(b.at[widx].set(v, mode="drop")
                     for b, v in zip(buckets, bpts))
+    if blind is not None:
+        cnt = cnt.at[widx].set(bcnt, mode="drop")
 
     # ---- 4. triangle + window fold ------------------------------------
     bw = tuple(b.reshape((n_windows, n_buckets) + b.shape[1:])[:, 1:]
@@ -294,7 +333,17 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
 
     res = tuple(x[n_windows - 1][None] for x in win)
     res = jax.lax.fori_loop(1, n_windows, fold_body, res)
-    return tuple(x[0] for x in res)
+    res = tuple(x[0] for x in res)
+    if blind is None:
+        return res
+    # integer mirror of the triangle: window w's value carries
+    # Σ_j Σ_{d>=j} cnt_d extra copies of R (suffix sums mirror `suf`,
+    # their sum mirrors the window total); the Horner fold then weights
+    # window w by 2^{cw} — applied host-side in unblind_msm
+    cw_ = cnt.reshape(n_windows, n_buckets)[:, 1:]
+    csuf = jnp.cumsum(cw_[:, ::-1], axis=1)[:, ::-1]
+    wts = jnp.sum(csuf, axis=1).astype(jnp.uint32)       # (W,)
+    return res + (wts,)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -336,16 +385,67 @@ def msm_compact(curve: str, points, scalars):
     return tuple(p[-1] for p in acc)
 
 
-def msm_auto(curve: str, points, scalars, c: int = 13, lanes: int = 1024):
+def msm_auto(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
+             blind=None):
     """Kernel dispatch: Pippenger on TPU (throughput-optimal), compact
     double-and-add elsewhere (compile-time-optimal — XLA:CPU spends minutes
     optimizing the Pippenger while-op nest; see use_vm() in curves.jcurve).
-    BMTPU_MSM={pippenger,compact} overrides."""
+    BMTPU_MSM={pippenger,compact} overrides.
+
+    With blind=(Rx, Ry) the result is a 4-tuple (X, Y, Z, wts); the compact
+    path needs no blinding (its double-and-add handles every exceptional
+    case) and reports all-zero weights for a uniform caller contract."""
     mode = _os.environ.get("BMTPU_MSM", "auto")
     if mode == "pippenger" or (mode == "auto"
                                and jax.default_backend() == "tpu"):
-        return msm(curve, points, scalars, c=c, lanes=lanes)
-    return msm_compact(curve, points, scalars)
+        return msm(curve, points, scalars, c=c, lanes=lanes, blind=blind)
+    res = msm_compact(curve, points, scalars)
+    if blind is None:
+        return res
+    n_windows = -(-SCALAR_BITS // c)
+    return res + (jnp.zeros((n_windows,), jnp.uint32),)
+
+
+# ---------------------------------------------------------------------------
+# Blinding helpers (host side)
+# ---------------------------------------------------------------------------
+
+def make_blind(curve: str):
+    """Fresh random blind point R = k·G from secret host randomness.
+    Returns (R_host_affine, (Rx_mont, Ry_mont) device-ready numpy limbs)."""
+    import secrets as _secrets
+
+    from ..curves import host_curve as HC
+    from ..fields.constants import R_MOD as _R
+
+    k = _secrets.randbelow(_R - 2) + 1
+    if curve == "g1":
+        R = HC.g1_mul(HC.g1_generator(), k)
+        X, Y, _ = jc.g1_affine_to_device([R])
+    else:
+        R = HC.g2_mul(HC.g2_generator(), k)
+        X, Y, _ = jc.g2_affine_to_device([R])
+    return R, (X[0], Y[0])
+
+
+def unblind_msm(curve: str, host_pt, wts, R_host, c: int):
+    """Subtract the tracked blind multiples from a host affine MSM result:
+    true = host_pt − (Σ_w 2^{cw}·wts[w])·R. wts may be (W,) or stacked
+    (k, W) from gathered per-device partials (summed exactly as ints)."""
+    from ..curves import host_curve as HC
+    from ..fields.constants import R_MOD as _R
+
+    w = np.asarray(wts, dtype=np.uint64)
+    w = w.reshape(-1, w.shape[-1])
+    m = 0
+    for i in range(w.shape[1]):
+        tot = sum(int(x) for x in w[:, i])
+        m = (m + (tot << (c * i))) % _R
+    if m == 0:
+        return host_pt
+    if curve == "g1":
+        return HC.g1_add(host_pt, HC.g1_neg(HC.g1_mul(R_host, m)))
+    return HC.g2_add(host_pt, HC.g2_neg(HC.g2_mul(R_host, m)))
 
 
 # ---------------------------------------------------------------------------

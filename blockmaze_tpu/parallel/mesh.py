@@ -42,19 +42,23 @@ def make_mesh(n_devices: int | None = None, axis: str = "pts") -> Mesh:
 
 
 def sharded_msm(mesh: Mesh, curve: str, points, scalars, c: int = 13,
-                lanes: int = 1024):
+                lanes: int = 1024, blind=None):
     """MSM with (point, scalar) pairs sharded across the mesh's `pts` axis.
 
     Each device reduces its shard with the single-chip Pippenger kernel; the
     per-device partial sums (one Jacobian point each) are all-gathered over
-    ICI and folded with log2(n) point additions."""
+    ICI and folded with log2(n) point additions.
+
+    blind: optional replicated (Rx, Ry) blind point (pippenger.msm). Every
+    device seeds with the same R; the per-device blind weights are
+    all-gathered and returned as (n_dev, W) so the caller's unblind_msm sums
+    them exactly. Return becomes a 4-tuple."""
     F = jc.FqOps if curve == "g1" else jc.Fq2Ops
     coord = P("pts") if curve == "g1" else P("pts")
     pspec = (coord, coord, P("pts"))
     sspec = P("pts")
 
-    def run_body(pts, sc):
-        part = pp.msm_auto(curve, pts, sc, c=c, lanes=lanes)
+    def _fold(part):
         # gather all partials: (n_dev, ...) on every device
         gx = jax.lax.all_gather(part[0], "pts")
         gy = jax.lax.all_gather(part[1], "pts")
@@ -71,8 +75,25 @@ def sharded_msm(mesh: Mesh, curve: str, points, scalars, c: int = 13,
 
         return jax.lax.fori_loop(1, n_dev, fold, (gx[0], gy[0], gz[0]))
 
-    run = smap(run_body, mesh, (pspec, sspec), (P(None), P(None), P(None)))
-    return run(points, scalars)
+    if blind is None:
+        def run_body(pts, sc):
+            return _fold(pp.msm_auto(curve, pts, sc, c=c, lanes=lanes))
+
+        run = smap(run_body, mesh, (pspec, sspec),
+                   (P(None), P(None), P(None)))
+        return run(points, scalars)
+
+    bspec = (P(*[None] * (blind[0].ndim)), P(*[None] * (blind[1].ndim)))
+
+    def run_body_b(pts, sc, bl):
+        part = pp.msm_auto(curve, pts, sc, c=c, lanes=lanes, blind=bl)
+        folded = _fold(part[:3])
+        wts = jax.lax.all_gather(part[3], "pts")      # (n_dev, W)
+        return folded + (wts,)
+
+    run = smap(run_body_b, mesh, (pspec, sspec, bspec),
+               (P(None), P(None), P(None), P(None)))
+    return run(points, scalars, blind)
 
 
 def sharded_field_inner_sum(mesh: Mesh, terms_mont):

@@ -69,3 +69,61 @@ def test_msm_g2(rng):
                  jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=4)
     got = JC.g2_jacobian_to_host(tuple(r[None] for r in res))[0]
     assert got == host_msm_g2(pts, scalars)
+
+
+def _blind(curve):
+    R_host, (bx, by) = pp.make_blind(curve)
+    return R_host, (jnp.asarray(bx), jnp.asarray(by))
+
+
+def test_msm_g1_blinded(rng):
+    """Blinded exception-free stream (point_mixed_add_noexc) + integer
+    weight tracking: exact vs host oracle, including duplicate points in the
+    same bucket (the case the blind makes safe) and infinity/zero lanes."""
+    n = 33
+    pts = make_g1(rng, n)
+    pts[4] = pts[7] = pts[9]   # duplicates sharing buckets
+    pts[2] = HC.G1_ZERO
+    scalars = [rng.randrange(R_MOD) for _ in range(n)]
+    scalars[0] = 0
+    scalars[4] = scalars[7] = scalars[9]  # same digit stream for duplicates
+    X, Y, inf = JC.g1_affine_to_device(pts)
+    R_host, blind = _blind("g1")
+    res = pp.msm("g1", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=4,
+                 blind=blind)
+    assert len(res) == 4
+    got = JC.g1_jacobian_to_host(tuple(r[None] for r in res[:3]))[0]
+    got = pp.unblind_msm("g1", got, np.asarray(res[3]), R_host, 8)
+    assert got == host_msm_g1(pts, scalars)
+
+
+def test_msm_g1_blinded_all_same_bucket(rng):
+    n = 33
+    pts = make_g1(rng, n)
+    scalars = [5] * n
+    X, Y, inf = JC.g1_affine_to_device(pts)
+    R_host, blind = _blind("g1")
+    res = pp.msm("g1", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=4,
+                 blind=blind)
+    got = JC.g1_jacobian_to_host(tuple(r[None] for r in res[:3]))[0]
+    got = pp.unblind_msm("g1", got, np.asarray(res[3]), R_host, 8)
+    assert got == host_msm_g1(pts, scalars)
+
+
+def test_msm_g2_blinded(rng):
+    n = 16
+    g = HC.g2_generator()
+    pts = [HC.g2_mul(g, rng.randrange(1, R_MOD)) for _ in range(n)]
+    pts[5] = HC.G2_ZERO
+    scalars = [rng.randrange(R_MOD) for _ in range(n)]
+    scalars[1] = 0
+    X, Y, inf = JC.g2_affine_to_device(pts)
+    R_host, blind = _blind("g2")
+    res = pp.msm("g2", (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf)),
+                 jnp.asarray(pp.scalars_to_device(scalars)), c=8, lanes=4,
+                 blind=blind)
+    got = JC.g2_jacobian_to_host(tuple(r[None] for r in res[:3]))[0]
+    got = pp.unblind_msm("g2", got, np.asarray(res[3]), R_host, 8)
+    assert got == host_msm_g2(pts, scalars)
