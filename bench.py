@@ -1,11 +1,11 @@
 """Benchmark: Groth16 proofs/sec on the TPU stack.
 
 Prints ONE JSON line. Primary metric = deposit-circuit proofs/sec (the
-BASELINE north star; reference single-core deposit prove = 27.061 s =
-0.0370 proofs/s, reference_harness/BASELINE_MEASURED.md). The same line
-carries mint proofs/s and witness-generation seconds (witness gen is ~2-3 s
-per deposit and would dominate at the 10x target, so it is measured and
-reported separately rather than hidden).
+BASELINE north star; reference single-core deposit prove on THIS machine =
+28.868 s = 0.0346 proofs/s, reference_harness/BASELINE_MEASURED.md). The
+same line carries every benched circuit's proofs/s, its end-to-end rate
+including witness generation (surfaced as value_e2e for the headline
+circuit), and first-prove/compile seconds.
 
 Requires reference_harness/prfKey/*.txt (generated once by
 reference_harness/build_reference.sh + *_key); the parsed device-tensor
@@ -27,13 +27,16 @@ import jax
 from blockmaze_tpu.utils.cachedirs import setup_caches
 setup_caches()
 
-BASELINE = {"mint": 1.0 / 7.527, "deposit": 1.0 / 27.061,
-            "send": 1.0 / 10.251, "redeem": 1.0 / 7.582}
+# single-core reference prove times measured on THIS host (round 4,
+# reference_harness/build/baseline_run_r4.log)
+BASELINE = {"mint": 1.0 / 11.485, "deposit": 1.0 / 28.868,
+            "send": 1.0 / 14.845, "redeem": 1.0 / 8.757}
 
 LANES = int(os.environ.get("BMTPU_LANES", "32768"))
 WINDOW = int(os.environ.get("BMTPU_WINDOW", "13"))
 REPS = int(os.environ.get("BMTPU_REPS", "3"))
-CIRCUITS = os.environ.get("BMTPU_BENCH_CIRCUITS", "mint,deposit").split(",")
+CIRCUITS = os.environ.get("BMTPU_BENCH_CIRCUITS",
+                          "mint,send,redeem,deposit").split(",")
 
 PRFKEY = os.path.join(ROOT, "reference_harness", "prfKey")
 
@@ -60,6 +63,18 @@ def main():
             out.setdefault("errors", []).append(
                 f"{circ}: reference keys not generated")
             continue
+        if not os.path.exists(pk_path):
+            # cache exists at the CURRENT CACHE_VERSION (checked above), but
+            # a version bump with no pk.txt to rebuild from must fail loudly,
+            # not silently bench a stale parse
+            import glob
+            stale = [p for p in glob.glob(os.path.join(
+                PRFKEY, f"{circ}pk.v*.npz")) if p != cached]
+            if stale and not os.path.exists(cached):
+                out.setdefault("errors", []).append(
+                    f"{circ}: npz cache is stale (found {stale}, need "
+                    f"v{keys.CACHE_VERSION}) and no pk.txt to rebuild")
+                continue
         dpk = keys.load_or_build(pk_path)
 
         t0 = time.time()
@@ -88,6 +103,7 @@ def main():
 
     if "deposit_proofs_per_sec" in out:
         out["value"] = out["deposit_proofs_per_sec"]
+        out["value_e2e"] = out["deposit_proofs_per_sec_with_witness"]
         out["vs_baseline"] = out["deposit_vs_baseline"]
     elif "mint_proofs_per_sec" in out:
         out["metric"] = "mint_proofs_per_sec"

@@ -346,11 +346,13 @@ def point_add(F, P, Q):
     return (X3, Y3, Z3)
 
 
-def point_mixed_add(F, P, Qx, Qy, q_inf):
+def point_mixed_add(F, P, Qx, Qy, q_inf, vm=None):
     """Jacobian + affine (Z2 = 1) addition (madd-2007-bl);
-    q_inf is a bool tensor marking affine-infinity lanes."""
+    q_inf is a bool tensor marking affine-infinity lanes.
+    vm overrides use_vm() (Pallas kernels must pass vm=False: the VM's
+    program arrays would be closure-captured constants)."""
     X1, Y1, Z1 = P
-    if use_vm():
+    if use_vm() if vm is None else vm:
         o = _run_program(F, "madd", (X1, Y1, Z1, Qx, Qy))
         X3, Y3, Z3, H, r = o["X3"], o["Y3"], o["Z3"], o["H"], o["r"]
         DX, DY, DZ = o["DX"], o["DY"], o["DZ"]
@@ -378,7 +380,7 @@ def point_mixed_add(F, P, Qx, Qy, q_inf):
     return (X3, Y3, Z3)
 
 
-def point_mixed_add_noexc(F, P, Qx, Qy, q_inf):
+def point_mixed_add_noexc(F, P, Qx, Qy, q_inf, vm=None):
     """Mixed add WITHOUT the doubling/infinity exceptional paths (saves the
     ~40% of field muls _dbl costs in point_mixed_add). Correct only when the
     accumulator P is never the affine point ±Q and never infinity — the
@@ -387,7 +389,7 @@ def point_mixed_add_noexc(F, P, Qx, Qy, q_inf):
     accumulator run with a random point R unknown to the input distribution
     (acc = R + partial, so acc == ±Q ⟺ R == ±Q - partial)."""
     X1, Y1, Z1 = P
-    if use_vm():
+    if use_vm() if vm is None else vm:
         o = _run_program(F, "madd_noexc", (X1, Y1, Z1, Qx, Qy))
         X3, Y3, Z3 = o["X3"], o["Y3"], o["Z3"]
     else:

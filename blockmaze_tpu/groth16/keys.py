@@ -189,7 +189,8 @@ def load_or_build(pk_txt_path: str, cache_dir: str | None = None) -> DevicePK:
     base = os.path.splitext(os.path.basename(pk_txt_path))[0]
     cache = os.path.join(cache_dir, base + f".v{CACHE_VERSION}.npz")
     if os.path.exists(cache) and (
-            os.path.getmtime(cache) >= os.path.getmtime(pk_txt_path)):
+            not os.path.exists(pk_txt_path)
+            or os.path.getmtime(cache) >= os.path.getmtime(pk_txt_path)):
         return load_device_pk(cache)
     dpk = build_device_pk_native(pk_txt_path)
     if dpk is None:

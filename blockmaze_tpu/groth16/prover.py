@@ -241,8 +241,9 @@ class Prover:
     def _sync(t):
         """Force completion of a device value for phase timing: transfer one
         tiny slice (block_until_ready returns before execution finishes on
-        the axon tunnel backend, so it cannot bracket phases)."""
-        np.asarray(jax.tree.leaves(t)[0])[:1]
+        the axon tunnel backend, so it cannot bracket phases). Slice on
+        device FIRST so only a few bytes cross the host link."""
+        np.asarray(jax.tree.leaves(t)[0][:1])
 
     def prove(self, primary: List[int], aux: List[int],
               r: Optional[int] = None, s: Optional[int] = None) -> Proof:

@@ -25,17 +25,25 @@ executed as wide vector batches — the shape the VPU wants.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ..curves import jcurve as jc
 from ..curves import pcurve as pcv
 from ..fields import jfield as jf
+from ..fields import kfield as kf
 
 SCALAR_BITS = 254
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 # Pallas point kernels keep the limb arithmetic VMEM-resident (the XLA
 # formulation is HBM-bound). Only used on real TPU backends: the interpret
@@ -47,18 +55,6 @@ import os as _os
 def USE_PALLAS():
     return (_os.environ.get("BMTPU_PALLAS", "1") != "0"
             and jax.default_backend() == "tpu")
-
-
-def _k_mixed_add(curve, F, P, px, py, pinf):
-    if USE_PALLAS():
-        return pcv.mixed_add(curve, P, px, py, pinf)
-    return jc.point_mixed_add(F, P, px, py, pinf)
-
-
-def _k_mixed_add_noexc(curve, F, P, px, py, pinf):
-    if USE_PALLAS():
-        return pcv.mixed_add_noexc(curve, P, px, py, pinf)
-    return jc.point_mixed_add_noexc(F, P, px, py, pinf)
 
 
 def _k_add(curve, F, P, Q):
@@ -84,6 +80,30 @@ def _digits_for_window(limbs, w: int, c: int):
     return (word >> off) & jnp.uint32((1 << c) - 1)
 
 
+def stream_keys(curve: str, points, scalars, c: int):
+    """Shared sort-phase front end (also used by scripts/msmbench.py so the
+    benchmark cannot drift from the kernel): packs the affine points into
+    single gather-friendly rows and builds the (window, digit) sort keys with
+    zero-digit / infinity items sent to the DROP sentinel.
+
+    Returns (P_packed (n, CW), keys (W*n,), DROP)."""
+    X, Y, inf = points
+    n = X.shape[0]
+    n_windows = -(-SCALAR_BITS // c)
+    n_buckets = 1 << c
+    DROP = jnp.uint32(n_windows * n_buckets)
+    digits = jnp.stack([_digits_for_window(scalars, w, c)
+                        for w in range(n_windows)])        # (W, n)
+    win_base = (jnp.arange(n_windows, dtype=jnp.uint32) * n_buckets)[:, None]
+    keys = (digits + win_base).reshape(-1)                 # (W*n,)
+    dead = (digits.reshape(-1) == 0) | jnp.tile(inf, n_windows)
+    keys = jnp.where(dead, DROP, keys)
+    coord_w = 16 if curve == "g1" else 32
+    P = jnp.concatenate([X.reshape(n, coord_w), Y.reshape(n, coord_w),
+                         inf.astype(jnp.uint32)[:, None]], axis=1)
+    return P, keys, DROP
+
+
 def default_window(n: int) -> int:
     """Window size tuned for the TPU formulation (bucket-scan cost grows with
     2^c, accumulation cost with 254/c)."""
@@ -102,9 +122,156 @@ def _zeros_pts(F, curve, batch):
     return (zx, F.one_like(zx), jnp.zeros(shape, jnp.uint32))
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+def _unpack_item(curve, rows, key, DROPu):
+    """One stream item from its packed (B, CW) row block: limb-major affine
+    coords + infinity mask. Shared by the Pallas kernel and the XLA driver."""
+    def _tp(lo):
+        return rows[:, lo:lo + 16].T
+
+    if curve == "g1":
+        px, py = _tp(0), _tp(16)
+    else:
+        px = jnp.stack([_tp(0), _tp(16)])
+        py = jnp.stack([_tp(32), _tp(48)])
+    pinf = (rows[:, rows.shape[1] - 1] != 0) | (key >= DROPu)
+    return px, py, pinf
+
+
+def _item_step(curve, use_blind, DROPu, key, px, py, pinf,
+               acc, meta, head, binit, vm):
+    """Semantics of ONE stream item for every lane of a block — run reset,
+    head tracking, flush detection, mixed add. Pure function over limb-major
+    values so the Pallas kernel (TPU) and the XLA fallback driver (CPU tests,
+    virtual meshes) share one implementation.
+
+    acc/head: coordinate triples (16, B) / (2, 16, B); meta: (cur_key,
+    head_key, seen) uint32 (B,) each; binit: blind affine (Rx, Ry) broadcast
+    to acc shape (ignored unless use_blind). Returns (acc, meta, head, fkey,
+    fpack) with fpack the (B, packw) limb-minor packed flush candidate."""
+    F = kf.KFqOps if curve == "g1" else kf.KFq2Ops
+    cur, hk, seen = meta
+
+    is_new = key != cur
+    do_flush = is_new & (seen != 0) & (cur < DROPu)
+    fkey = jnp.where(do_flush, cur, DROPu)
+    # flush candidate = current acc, packed limb-minor + blind count 1
+    if curve == "g1":
+        parts = [acc[0].T, acc[1].T, acc[2].T]
+    else:
+        parts = [acc[0][0].T, acc[0][1].T, acc[1][0].T, acc[1][1].T,
+                 acc[2][0].T, acc[2][1].T]
+    parts.append(jnp.ones((parts[0].shape[0], 1), jnp.uint32))
+    fpack = jnp.concatenate(parts, axis=1)
+
+    new_head = is_new & (seen == 0)
+    hk = jnp.where(new_head, cur, hk)
+    head = tuple(F.select(new_head, a, h) for a, h in zip(acc, head))
+    seen = seen | is_new.astype(jnp.uint32)
+
+    one = F.one_like(acc[2])
+    if use_blind:
+        init = (binit[0], binit[1], one)
+    else:
+        init = (F.zeros_like(acc[0]), one, F.zeros_like(acc[2]))
+    acc = tuple(F.select(is_new, z, a) for z, a in zip(init, acc))
+    if use_blind:
+        acc = jc.point_mixed_add_noexc(F, acc, px, py, pinf, vm=vm)
+    else:
+        acc = jc.point_mixed_add(F, acc, px, py, pinf, vm=vm)
+    return acc, (key, hk, seen), head, fkey, fpack
+
+
+@lru_cache(maxsize=None)
+def _round_kernel(curve: str, use_blind: bool, DROP: int):
+    """Build the fused round kernel: one grid step processes ONE stream item
+    for a block of BLK lanes; the K axis rides the (sequential) Pallas grid so
+    the acc/head/meta out-refs persist in VMEM across a lane block's K items
+    (standard revisited-block accumulation). All bookkeeping that the per-item
+    formulation did in XLA glue — run reset, head tracking, flush detection,
+    limb-major transposes — runs in VMEM here (straight-line formulas:
+    vm=False — the VM's program arrays would be captured constants, and
+    Mosaic fuses the straight-line form anyway)."""
+
+    def kernel(keys_ref, rows_ref, ax_ref, ay_ref, az_ref, meta_ref,
+               hx_ref, hy_ref, hz_ref, bx_ref, by_ref,
+               ax_o, ay_o, az_o, meta_o, hx_o, hy_o, hz_o,
+               fkey_o, fpack_o):
+        k = pl.program_id(1)
+        DROPu = jnp.uint32(DROP)
+
+        @pl.when(k == 0)
+        def _():
+            ax_o[...] = ax_ref[...]
+            ay_o[...] = ay_ref[...]
+            az_o[...] = az_ref[...]
+            meta_o[...] = meta_ref[...]
+            hx_o[...] = hx_ref[...]
+            hy_o[...] = hy_ref[...]
+            hz_o[...] = hz_ref[...]
+
+        key = keys_ref[0, 0, :]                    # (BLK,)
+        rows = rows_ref[0]                         # (BLK, CW)
+        px, py, pinf = _unpack_item(curve, rows, key, DROPu)
+        if curve == "g1":
+            binit = (jnp.broadcast_to(bx_ref[:, 0:1], ax_o.shape),
+                     jnp.broadcast_to(by_ref[:, 0:1], ax_o.shape))
+        else:
+            binit = (jnp.broadcast_to(bx_ref[:, :, 0:1], ax_o.shape),
+                     jnp.broadcast_to(by_ref[:, :, 0:1], ax_o.shape))
+
+        acc = (ax_o[...], ay_o[...], az_o[...])
+        meta = (meta_o[0, :], meta_o[1, :], meta_o[2, :])
+        head = (hx_o[...], hy_o[...], hz_o[...])
+        acc, meta, head, fkey, fpack = _item_step(
+            curve, use_blind, DROPu, key, px, py, pinf, acc, meta, head,
+            binit, vm=False)
+        fkey_o[0, 0, :] = fkey
+        fpack_o[0] = fpack
+        ax_o[...], ay_o[...], az_o[...] = acc
+        meta_o[0, :], meta_o[1, :], meta_o[2, :] = meta
+        hx_o[...], hy_o[...], hz_o[...] = head
+
+    return kernel
+
+
+def _xla_round(curve, use_blind, DROP, K, packw,
+               keys_r, rows, acc, meta, head, bx, by):
+    """XLA fallback for one round (non-TPU backends): identical semantics to
+    the Pallas kernel via the shared _item_step, driven by a fori_loop over
+    the K items (formula-VM mixed adds keep the XLA:CPU graph small — the
+    straight-line form costs minutes of CPU compile; jcurve.use_vm)."""
+    DROPu = jnp.uint32(DROP)
+    T = keys_r.shape[1]                              # keys_r is (K, T)
+    if curve == "g1":
+        binit = (jnp.broadcast_to(bx, (16, T)), jnp.broadcast_to(by, (16, T)))
+    else:
+        binit = (jnp.broadcast_to(bx, (2, 16, T)),
+                 jnp.broadcast_to(by, (2, 16, T)))
+    fkeys0 = jnp.full((K, T), DROPu, jnp.uint32)
+    fpack0 = jnp.zeros((K, T, packw), jnp.uint32)
+    meta = (meta[0], meta[1], meta[2])
+
+    def kbody(k, carry):
+        acc, meta, head, fkeys, fpacks = carry
+        key = jax.lax.dynamic_index_in_dim(keys_r, k, axis=0, keepdims=False)
+        row = jax.lax.dynamic_index_in_dim(rows, k, axis=0, keepdims=False)
+        px, py, pinf = _unpack_item(curve, row, key, DROPu)
+        acc, meta, head, fkey, fpack = _item_step(
+            curve, use_blind, DROPu, key, px, py, pinf, acc, meta, head,
+            binit, vm=None)
+        fkeys = jax.lax.dynamic_update_index_in_dim(fkeys, fkey, k, axis=0)
+        fpacks = jax.lax.dynamic_update_index_in_dim(fpacks, fpack[None],
+                                                     k, axis=0)
+        return acc, meta, head, fkeys, fpacks
+
+    acc, meta, head, fkeys, fpacks = jax.lax.fori_loop(
+        0, K, kbody, (acc, meta, head, fkeys0, fpack0))
+    return acc, jnp.stack(meta), head, fkeys, fpacks
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 6))
 def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
-        blind=None):
+        blind=None, kitems: int = 16):
     """points = (X, Y, inf) affine Montgomery tensors; scalars = (n, 16)
     uint32 standard-form (non-Montgomery) limbs. curve in {"g1", "g2"}.
     Returns a single Jacobian point (coordinate tensors without batch dim).
@@ -126,96 +293,150 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     n_windows = -(-SCALAR_BITS // c)
     n_buckets = 1 << c
     total_buckets = n_windows * n_buckets
-    DROP = jnp.uint32(total_buckets)  # out-of-range -> dropped by scatter
-
-    # ---- 1. keys -------------------------------------------------------
-    digits = jnp.stack([_digits_for_window(scalars, w, c)
-                        for w in range(n_windows)])        # (W, n)
-    win_base = (jnp.arange(n_windows, dtype=jnp.uint32) * n_buckets)[:, None]
-    keys = (digits + win_base).reshape(-1)                 # (W*n,)
-    # zero digits and infinity points contribute nothing: send them to DROP
-    dead = (digits.reshape(-1) == 0) | jnp.tile(inf, n_windows)
-    keys = jnp.where(dead, DROP, keys)
-
     total = n_windows * n
 
-    # ---- 2. physically reorder the PACKED point stream ------------------
+    # ---- 1. keys + physically reorder the PACKED point stream ----------
     # TPU gathers of 64-byte rows run ~3.5M rows/s (catastrophic); gathering
     # ONE packed (X‖Y‖inf) row of 132/260 bytes runs at near-HBM speed. So:
-    # argsort the keys, then move the whole stream into bucket order with a
-    # single packed gather — the reduction loop below then only ever reads
-    # contiguous slices.
-    coord_w = 16 if curve == "g1" else 32
-    P = jnp.concatenate([X.reshape(n, coord_w), Y.reshape(n, coord_w),
-                         inf.astype(jnp.uint32)[:, None]], axis=1)
+    # argsort the keys; the per-round packed gather below then reads point
+    # rows in bucket order.
+    P, keys, DROP = stream_keys(curve, points, scalars, c)
     CW = P.shape[1]
     order = jnp.argsort(keys)
     skeys = keys[order]
     spid = (order % n).astype(jnp.int32)
 
-    # ---- 3. tiled segmented reduction ---------------------------------
+    # ---- 2. fused-round segmented reduction ----------------------------
+    # Lane t walks the contiguous sorted range [t*L, (t+1)*L) in rounds of K
+    # items. Each round is ONE Pallas kernel (grid (lane blocks, K)): the
+    # run-reset / head-tracking / flush-detect selects, the limb-major
+    # transposes, and the mixed-add all happen in VMEM, and the round's K*T
+    # flush candidates leave packed for a single XLA scatter. This replaces
+    # the per-item formulation (one scatter + layout transposes per stream
+    # step) whose glue cost dominated the point math (PROFILE_r3.md).
+    K = kitems
     T = min(lanes, total)
+    BLK = min(1024, T)
+    T = -(-T // BLK) * BLK                 # lane count, multiple of BLK
     L = -(-total // T)
+    rounds = max(1, -(-L // K))
+    if L < K:
+        K = L
+        rounds = 1
+    L = rounds * K
     pad = T * L - total
     skeys = jnp.concatenate([skeys, jnp.full((pad,), DROP, jnp.uint32)])
     spid = jnp.concatenate([spid, jnp.zeros((pad,), jnp.int32)])
-    # lane t owns the contiguous sorted run [t*L, (t+1)*L); transpose once so
-    # the loop's per-step slice [s] is a contiguous (T, CW) block
-    skeys = skeys.reshape(T, L).T                          # (L, T)
-    stream = jnp.take(P, spid, axis=0).reshape(T, L, CW).transpose(1, 0, 2)
+    skeys = skeys.reshape(T, rounds, K)
+    spid = spid.reshape(T, rounds, K)
 
-    def _unpack(row, k):
-        if curve == "g1":
-            px, py = row[:, :16], row[:, 16:32]
-        else:
-            px = row[:, :32].reshape(T, 2, 16)
-            py = row[:, 32:64].reshape(T, 2, 16)
-        pinf = (row[:, CW - 1] != 0) | (k == DROP)
-        return px, py, pinf
-
-    buckets = _zeros_pts(F, curve, total_buckets)
-    cnt = jnp.zeros((total_buckets,), jnp.uint32)
-    if blind is None:
-        lane_init = _zeros_pts(F, curve, T)
-        madd = _k_mixed_add
+    use_blind = blind is not None
+    if curve == "g1":
+        cshape, packw = (16, T), 3 * 16 + 1
     else:
+        cshape, packw = (2, 16, T), 3 * 32 + 1
+    zero_c = jnp.zeros(cshape, jnp.uint32)
+    one_c = (kf.KFqOps if curve == "g1" else kf.KFq2Ops).one_like(zero_c)
+    if use_blind:
         bx, by = blind
-        Rx = jnp.broadcast_to(bx, (T,) + bx.shape)
-        Ry = jnp.broadcast_to(by, (T,) + by.shape)
-        lane_init = (Rx, Ry, F.one_like(Rx))
-        madd = _k_mixed_add_noexc
-    acc = lane_init
-    head_sum = _zeros_pts(F, curve, T)
-    init_key = skeys[0]
-    head_key = jnp.full((T,), DROP, jnp.uint32)
-    seen_change = jnp.zeros((T,), bool)
+        bx = bx.reshape(cshape[:-1] + (1,))
+        by = by.reshape(cshape[:-1] + (1,))
+    else:
+        bx = jnp.zeros(cshape[:-1] + (1,), jnp.uint32)
+        by = jnp.zeros(cshape[:-1] + (1,), jnp.uint32)
 
-    def body(s, state):
-        buckets, cnt, acc, cur_key, head_key, head_sum, seen_change = state
-        k = skeys[s]
-        px, py, pinf = _unpack(stream[s], k)
+    kern = _round_kernel(curve, use_blind, total_buckets)
+    nb = T // BLK
+    cblk = cshape[:-1] + (BLK,)
+    if curve == "g1":
+        cmap = lambda b, k: (0, b)
+        bmap = lambda b, k: (0, 0)
+    else:
+        cmap = lambda b, k: (0, 0, b)
+        bmap = lambda b, k: (0, 0, 0)
+    cspec = pl.BlockSpec(cblk, cmap)
+    bspec = pl.BlockSpec(cshape[:-1] + (1,), bmap)
+    mspec = pl.BlockSpec((3, BLK), lambda b, k: (0, b))
+    kspec = pl.BlockSpec((1, 1, BLK), lambda b, k: (k, 0, b))
+    rspec = pl.BlockSpec((1, BLK, CW), lambda b, k: (k, b, 0))
+    fspec = pl.BlockSpec((1, BLK, packw), lambda b, k: (k, b, 0))
 
-        is_new = k != cur_key
-        flush = is_new & seen_change & (cur_key < DROP)
-        widx = jnp.where(flush, cur_key, DROP).astype(jnp.int32)
-        buckets = tuple(b.at[widx].set(a, mode="drop")
-                        for b, a in zip(buckets, acc))
-        if blind is not None:
-            cnt = cnt.at[widx].set(jnp.ones((T,), jnp.uint32), mode="drop")
+    acc0 = (jnp.broadcast_to(bx, cshape) if use_blind else zero_c,
+            jnp.broadcast_to(by, cshape) if use_blind else one_c,
+            one_c if use_blind else zero_c)
+    meta0 = jnp.stack([skeys[:, 0, 0],
+                       jnp.full((T,), DROP, jnp.uint32),
+                       jnp.zeros((T,), jnp.uint32)])
+    head0 = (zero_c, one_c, zero_c)
+    bkt0 = jnp.zeros((total_buckets, packw), jnp.uint32)
 
-        new_head = is_new & ~seen_change
-        head_key = jnp.where(new_head, cur_key, head_key)
-        head_sum = tuple(F.select(new_head, a, h)
-                         for a, h in zip(acc, head_sum))
-        seen_change = seen_change | is_new
+    def round_body(r, state):
+        bkt, acc, meta, head = state
+        keys_r = jax.lax.dynamic_slice_in_dim(skeys, r, 1, axis=1)
+        keys_r = keys_r.reshape(T, K).T                       # (K, T)
+        idx_r = jax.lax.dynamic_slice_in_dim(spid, r, 1, axis=1)
+        idx_r = idx_r.reshape(T, K).T                         # (K, T)
+        rows = jnp.take(P, idx_r.reshape(-1), axis=0).reshape(K, T, CW)
+        if _interpret():
+            # non-TPU: same semantics through the shared _item_step, but as
+            # plain XLA (interpret-mode Pallas would still trace the
+            # straight-line madd once per grid step: minutes of CPU compile)
+            acc, meta, head, fkeys, fpack = _xla_round(
+                curve, use_blind, total_buckets, K, packw,
+                keys_r, rows, acc, meta, head, bx, by)
+        else:
+            out = pl.pallas_call(
+                kern,
+                grid=(nb, K),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                in_specs=[kspec, rspec, cspec, cspec, cspec, mspec,
+                          cspec, cspec, cspec, bspec, bspec],
+                out_specs=(cspec, cspec, cspec, mspec, cspec, cspec, cspec,
+                           kspec, fspec),
+                # outputs pinned to HBM: unconstrained custom-call results
+                # get stack-allocated in scoped VMEM by XLA's memory-space
+                # assignment, and the packed flush tensor alone (~34 MB
+                # tile-padded) blows the 16 MB scoped limit
+                out_shape=(
+                    (pltpu.HBM(cshape, jnp.uint32),) * 3
+                    + (pltpu.HBM((3, T), jnp.uint32),)
+                    + (pltpu.HBM(cshape, jnp.uint32),) * 3
+                    + (pltpu.HBM((K, 1, T), jnp.uint32),
+                       pltpu.HBM((K, T, packw), jnp.uint32))),
+            )(keys_r[:, None, :], rows, acc[0], acc[1], acc[2], meta,
+              head[0], head[1], head[2], bx, by)
+            acc = out[0:3]
+            meta = out[3]
+            head = out[4:7]
+            fkeys, fpack = out[7], out[8]
+        bkt = bkt.at[fkeys.reshape(-1)].set(fpack.reshape(-1, packw),
+                                            mode="drop")
+        return (bkt, acc, meta, head)
 
-        acc = tuple(F.select(is_new, z, a) for z, a in zip(lane_init, acc))
-        acc = madd(curve, F, acc, px, py, pinf)
-        return (buckets, cnt, acc, k, head_key, head_sum, seen_change)
+    # rounds unrolled in Python: a pallas_call inside a lax.while body gets
+    # its result tuple stack-allocated in scoped VMEM by this XLA version
+    # (46 MB > 16 MB limit at real sizes); unrolled, results are plain HBM
+    # buffers. rounds is ~20-40, so the traced graph stays small.
+    state = (bkt0, acc0, meta0, head0)
+    for r in range(rounds):
+        state = round_body(r, state)
+    bkt, accM, meta, headM = state
 
-    state = (buckets, cnt, acc, init_key, head_key, head_sum, seen_change)
-    (buckets, cnt, acc, cur_key, head_key, head_sum,
-     seen_change) = jax.lax.fori_loop(0, L, body, state)
+    # unpack to the limb-minor layout the combine/triangle phases use
+    def _unmajor(t):
+        return (t.T if curve == "g1" else t.transpose(2, 0, 1))
+
+    acc = tuple(_unmajor(t) for t in accM)
+    head_sum = tuple(_unmajor(t) for t in headM)
+    cur_key, head_key = meta[0], meta[1]
+    seen_change = meta[2] != 0
+    if curve == "g1":
+        buckets = tuple(bkt[:, 16 * i:16 * (i + 1)] for i in range(3))
+    else:
+        buckets = tuple(bkt[:, 32 * i:32 * (i + 1)].reshape(-1, 2, 16)
+                        for i in range(3))
+    cnt = bkt[:, packw - 1]
 
     # ---- 3. boundary combine ------------------------------------------
     # per lane, in key-sorted order: (head_key, head_sum) then

@@ -76,13 +76,19 @@ def main():
 
     fn = jax.jit(lambda p, s: pp.msm(curve, p, s, c=args.window,
                                      lanes=args.lanes))
+
+    def sync(out):
+        # block_until_ready returns before execution completes on the axon
+        # tunnel backend; a tiny device->host transfer forces completion
+        np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:1])
+
     t0 = time.time()
-    out = jax.block_until_ready(fn(pts, sc))
+    sync(fn(pts, sc))
     compile_s = time.time() - t0
     times = []
     for _ in range(args.reps):
         t0 = time.time()
-        out = jax.block_until_ready(fn(pts, sc))
+        sync(fn(pts, sc))
         times.append(time.time() - t0)
     best = min(times)
     print(f"msm {curve} n=2^{args.n} c={args.window} lanes={args.lanes}: "

@@ -32,6 +32,28 @@ import random
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute tests (mesh prover at real shapes, real-pk "
+        "integration); enabled with BMTPU_SLOW=1 or -m slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Test tiering (VERDICT r3 weak #7): the default suite must stay fast on
+    a 2-core host, so slow-marked tests skip unless explicitly requested."""
+    if os.environ.get("BMTPU_SLOW") == "1":
+        return
+    expr = config.getoption("-m") or ""
+    if "slow" in expr and "not slow" not in expr:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set BMTPU_SLOW=1 or run -m slow")
+    for it in items:
+        if "slow" in it.keywords:
+            it.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return random.Random(0xB10C)

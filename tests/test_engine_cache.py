@@ -19,14 +19,19 @@ def test_host_fingerprint_stable():
 
 
 def test_code_fingerprint_covers_compute_sources():
-    fp = ec.code_fingerprint()
-    assert len(fp) == 16
+    # per-family fingerprints (a Pippenger edit must not invalidate QAP
+    # artifacts): both families hash, and differ from each other
+    fp_msm = ec.code_fingerprint("msm_g1")
+    fp_qap = ec.code_fingerprint("qap")
+    assert len(fp_msm) == 16 and len(fp_qap) == 16
+    assert fp_msm != fp_qap
     # every named source must exist (a rename would silently stop
     # invalidating artifacts)
     import blockmaze_tpu
     root = os.path.dirname(os.path.abspath(blockmaze_tpu.__file__))
-    for rel in ec._SOURCES:
-        assert os.path.exists(os.path.join(root, rel)), rel
+    for fam in ec._SOURCES:
+        for rel in ec._SOURCES[fam]:
+            assert os.path.exists(os.path.join(root, rel)), rel
 
 
 def test_arg_hash_distinguishes_shapes_and_statics():
