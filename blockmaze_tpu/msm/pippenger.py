@@ -123,17 +123,16 @@ def _zeros_pts(F, curve, batch):
 
 
 def _unpack_item(curve, rows, key, DROPu):
-    """One stream item from its packed (B, CW) row block: limb-major affine
-    coords + infinity mask. Shared by the Pallas kernel and the XLA driver."""
-    def _tp(lo):
-        return rows[:, lo:lo + 16].T
-
+    """One stream item from its LIMB-MAJOR (CW, B) row block: affine coords
+    + infinity mask. Shared by the Pallas kernel and the XLA driver. (The
+    (B, CW) gather layout is swapped to (CW, B) once per round by XLA —
+    in-kernel per-item transposes measured ~4x slower than the point math.)"""
     if curve == "g1":
-        px, py = _tp(0), _tp(16)
+        px, py = rows[0:16], rows[16:32]
     else:
-        px = jnp.stack([_tp(0), _tp(16)])
-        py = jnp.stack([_tp(32), _tp(48)])
-    pinf = (rows[:, rows.shape[1] - 1] != 0) | (key >= DROPu)
+        px = jnp.stack([rows[0:16], rows[16:32]])
+        py = jnp.stack([rows[32:48], rows[48:64]])
+    pinf = (rows[rows.shape[0] - 1] != 0) | (key >= DROPu)
     return px, py, pinf
 
 
@@ -154,14 +153,15 @@ def _item_step(curve, use_blind, DROPu, key, px, py, pinf,
     is_new = key != cur
     do_flush = is_new & (seen != 0) & (cur < DROPu)
     fkey = jnp.where(do_flush, cur, DROPu)
-    # flush candidate = current acc, packed limb-minor + blind count 1
+    # flush candidate = current acc, packed LIMB-MAJOR (packw, B) + blind
+    # count 1; swapped to scatter-row layout once per round by XLA
     if curve == "g1":
-        parts = [acc[0].T, acc[1].T, acc[2].T]
+        parts = [acc[0], acc[1], acc[2]]
     else:
-        parts = [acc[0][0].T, acc[0][1].T, acc[1][0].T, acc[1][1].T,
-                 acc[2][0].T, acc[2][1].T]
-    parts.append(jnp.ones((parts[0].shape[0], 1), jnp.uint32))
-    fpack = jnp.concatenate(parts, axis=1)
+        parts = [acc[0][0], acc[0][1], acc[1][0], acc[1][1],
+                 acc[2][0], acc[2][1]]
+    parts.append(jnp.ones((1,) + parts[0].shape[1:], jnp.uint32))
+    fpack = jnp.concatenate(parts, axis=0)
 
     new_head = is_new & (seen == 0)
     hk = jnp.where(new_head, cur, hk)
@@ -210,7 +210,7 @@ def _round_kernel(curve: str, use_blind: bool, DROP: int):
             hz_o[...] = hz_ref[...]
 
         key = keys_ref[0, 0, :]                    # (BLK,)
-        rows = rows_ref[0]                         # (BLK, CW)
+        rows = rows_ref[0]                         # (CW, BLK) limb-major
         px, py, pinf = _unpack_item(curve, rows, key, DROPu)
         if curve == "g1":
             binit = (jnp.broadcast_to(bx_ref[:, 0:1], ax_o.shape),
@@ -248,7 +248,7 @@ def _xla_round(curve, use_blind, DROP, K, packw,
         binit = (jnp.broadcast_to(bx, (2, 16, T)),
                  jnp.broadcast_to(by, (2, 16, T)))
     fkeys0 = jnp.full((K, T), DROPu, jnp.uint32)
-    fpack0 = jnp.zeros((K, T, packw), jnp.uint32)
+    fpack0 = jnp.zeros((K, packw, T), jnp.uint32)
     meta = (meta[0], meta[1], meta[2])
 
     def kbody(k, carry):
@@ -267,6 +267,82 @@ def _xla_round(curve, use_blind, DROP, K, packw,
     acc, meta, head, fkeys, fpacks = jax.lax.fori_loop(
         0, K, kbody, (acc, meta, head, fkeys0, fpack0))
     return acc, jnp.stack(meta), head, fkeys, fpacks
+
+
+@lru_cache(maxsize=None)
+def _fold_kernel(curve: str, c: int, W: int):
+    """Single-kernel Horner fold over windows: res = Σ_w 2^{cw}·win_w.
+
+    The XLA formulation executes (W-1)·(c+1) ≈ 270 separate batch-1 point-op
+    kernels (measured ~100+ ms of the MSM combine phase is this fold alone);
+    here the whole fold is ONE kernel with in-kernel fori_loops, the W window
+    sums living in VMEM as a (3·coordwidth, W) limb-major pack."""
+    F = kf.KFqOps if curve == "g1" else kf.KFq2Ops
+    cw = 16 if curve == "g1" else 32
+
+    def getw(ref, idx):
+        # dynamic lane slicing must be 128-aligned on TPU; select the window
+        # column with a mask + sum instead (W is tiny)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        m = (lane == idx).astype(jnp.uint32)
+
+        def pick(lo):
+            # Mosaic: no unsigned reductions; sum in int32 (values are
+            # masked u32 limbs < 2^16 except Montgomery limbs < 2^16: safe)
+            v = (ref[lo:lo + 16, :] * m).astype(jnp.int32)
+            return jnp.sum(v, axis=1, keepdims=True).astype(jnp.uint32)
+
+        if curve == "g1":
+            return (pick(0), pick(16), pick(32))
+        return (jnp.stack([pick(0), pick(16)]),
+                jnp.stack([pick(32), pick(48)]),
+                jnp.stack([pick(64), pick(80)]))
+
+    def kernel(win_ref, out_ref):
+        res = getw(win_ref, W - 1)
+
+        def wbody(w, res):
+            res = jax.lax.fori_loop(
+                0, c, lambda _, P: jc.point_double(F, P), res)
+            Q = getw(win_ref, W - 1 - w)
+            return jc.point_add(F, res, Q)
+
+        res = jax.lax.fori_loop(1, W, wbody, res)
+        if curve == "g1":
+            out_ref[0:16, :] = res[0]
+            out_ref[16:32, :] = res[1]
+            out_ref[32:48, :] = res[2]
+        else:
+            out_ref[0:16, :] = res[0][0]
+            out_ref[16:32, :] = res[0][1]
+            out_ref[32:48, :] = res[1][0]
+            out_ref[48:64, :] = res[1][1]
+            out_ref[64:80, :] = res[2][0]
+            out_ref[80:96, :] = res[2][1]
+
+    return kernel
+
+
+def _fold_pallas(curve: str, c: int, n_windows: int, win):
+    """Pack the window sums limb-major and run the one-kernel Horner fold."""
+    pw = 48 if curve == "g1" else 96
+    if curve == "g1":
+        packed = jnp.concatenate([w.T for w in win], axis=0)       # (48, W)
+    else:
+        packed = jnp.concatenate(
+            [w.transpose(1, 2, 0).reshape(32, -1) for w in win], axis=0)
+    res = pl.pallas_call(
+        _fold_kernel(curve, c, n_windows),
+        in_specs=[pl.BlockSpec((pw, n_windows), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((pw, 1), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((pw, 1), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(packed)
+    if curve == "g1":
+        return (res[0:16, 0], res[16:32, 0], res[32:48, 0])
+    return (res[0:32, 0].reshape(2, 16), res[32:64, 0].reshape(2, 16),
+            res[64:96, 0].reshape(2, 16))
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 6))
@@ -316,7 +392,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     # step) whose glue cost dominated the point math (PROFILE_r3.md).
     K = kitems
     T = min(lanes, total)
-    BLK = min(1024, T)
+    BLK = min(int(_os.environ.get("BMTPU_MSM_BLK", "1024")), T)
     T = -(-T // BLK) * BLK                 # lane count, multiple of BLK
     L = -(-total // T)
     rounds = max(1, -(-L // K))
@@ -358,8 +434,8 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     bspec = pl.BlockSpec(cshape[:-1] + (1,), bmap)
     mspec = pl.BlockSpec((3, BLK), lambda b, k: (0, b))
     kspec = pl.BlockSpec((1, 1, BLK), lambda b, k: (k, 0, b))
-    rspec = pl.BlockSpec((1, BLK, CW), lambda b, k: (k, b, 0))
-    fspec = pl.BlockSpec((1, BLK, packw), lambda b, k: (k, b, 0))
+    rspec = pl.BlockSpec((1, CW, BLK), lambda b, k: (k, 0, b))
+    fspec = pl.BlockSpec((1, packw, BLK), lambda b, k: (k, 0, b))
 
     acc0 = (jnp.broadcast_to(bx, cshape) if use_blind else zero_c,
             jnp.broadcast_to(by, cshape) if use_blind else one_c,
@@ -377,6 +453,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
         idx_r = jax.lax.dynamic_slice_in_dim(spid, r, 1, axis=1)
         idx_r = idx_r.reshape(T, K).T                         # (K, T)
         rows = jnp.take(P, idx_r.reshape(-1), axis=0).reshape(K, T, CW)
+        rows = jnp.swapaxes(rows, 1, 2)                       # (K, CW, T)
         if _interpret():
             # non-TPU: same semantics through the shared _item_step, but as
             # plain XLA (interpret-mode Pallas would still trace the
@@ -384,6 +461,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
             acc, meta, head, fkeys, fpack = _xla_round(
                 curve, use_blind, total_buckets, K, packw,
                 keys_r, rows, acc, meta, head, bx, by)
+            fpack = jnp.swapaxes(fpack, 1, 2)                 # (K, T, packw)
         else:
             out = pl.pallas_call(
                 kern,
@@ -403,25 +481,31 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
                     + (pltpu.HBM((3, T), jnp.uint32),)
                     + (pltpu.HBM(cshape, jnp.uint32),) * 3
                     + (pltpu.HBM((K, 1, T), jnp.uint32),
-                       pltpu.HBM((K, T, packw), jnp.uint32))),
+                       pltpu.HBM((K, packw, T), jnp.uint32))),
             )(keys_r[:, None, :], rows, acc[0], acc[1], acc[2], meta,
               head[0], head[1], head[2], bx, by)
             acc = out[0:3]
             meta = out[3]
             head = out[4:7]
-            fkeys, fpack = out[7], out[8]
+            fkeys, fpack = out[7], jnp.swapaxes(out[8], 1, 2)
         bkt = bkt.at[fkeys.reshape(-1)].set(fpack.reshape(-1, packw),
                                             mode="drop")
         return (bkt, acc, meta, head)
 
-    # rounds unrolled in Python: a pallas_call inside a lax.while body gets
-    # its result tuple stack-allocated in scoped VMEM by this XLA version
-    # (46 MB > 16 MB limit at real sizes); unrolled, results are plain HBM
-    # buffers. rounds is ~20-40, so the traced graph stays small.
-    state = (bkt0, acc0, meta0, head0)
-    for r in range(rounds):
-        state = round_body(r, state)
-    bkt, accM, meta, headM = state
+    # TPU: rounds unrolled in Python — a pallas_call inside a lax.while body
+    # gets its result tuple stack-allocated in scoped VMEM by this XLA
+    # version (46 MB > 16 MB limit at real sizes); unrolled, results are
+    # plain HBM buffers, and rounds is ~20-40 so the traced graph stays
+    # small. CPU: rolled fori_loop — the XLA:CPU compile is superlinear in
+    # graph size (an unrolled 104-round mesh shard measured >1 h to compile).
+    if _interpret():
+        bkt, accM, meta, headM = jax.lax.fori_loop(
+            0, rounds, round_body, (bkt0, acc0, meta0, head0))
+    else:
+        state = (bkt0, acc0, meta0, head0)
+        for r in range(rounds):
+            state = round_body(r, state)
+        bkt, accM, meta, headM = state
 
     # unpack to the limb-minor layout the combine/triangle phases use
     def _unmajor(t):
@@ -542,19 +626,23 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
                                 suf)
         win = tuple(p[:, -1] for p in tot)
 
-    # Horner fold over windows, highest first (rolled loops: the unrolled
-    # version costs ~250 point ops of traced graph and minutes of compile)
-    def fold_body(w, res):
-        # res carries a leading batch dim of 1 (kernel-friendly shape)
-        res = jax.lax.fori_loop(0, c,
-                                lambda _, P: _k_double(curve, F, P), res)
-        idx = n_windows - 1 - w
-        Q = tuple(jnp.take(x, idx, axis=0)[None] for x in win)
-        return _k_add(curve, F, res, Q)
+    # Horner fold over windows, highest first
+    if USE_PALLAS():
+        # one kernel for the whole fold (the rolled XLA loop below executes
+        # ~(W-1)(c+1) separate batch-1 point kernels)
+        res = _fold_pallas(curve, c, n_windows, win)
+    else:
+        def fold_body(w, res):
+            # res carries a leading batch dim of 1 (kernel-friendly shape)
+            res = jax.lax.fori_loop(0, c,
+                                    lambda _, P: _k_double(curve, F, P), res)
+            idx = n_windows - 1 - w
+            Q = tuple(jnp.take(x, idx, axis=0)[None] for x in win)
+            return _k_add(curve, F, res, Q)
 
-    res = tuple(x[n_windows - 1][None] for x in win)
-    res = jax.lax.fori_loop(1, n_windows, fold_body, res)
-    res = tuple(x[0] for x in res)
+        res = tuple(x[n_windows - 1][None] for x in win)
+        res = jax.lax.fori_loop(1, n_windows, fold_body, res)
+        res = tuple(x[0] for x in res)
     if blind is None:
         return res
     # integer mirror of the triangle: window w's value carries
