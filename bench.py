@@ -60,21 +60,18 @@ def main():
         pk_path = os.path.join(PRFKEY, f"{circ}pk.txt")
         cached = os.path.join(PRFKEY, f"{circ}pk.v{keys.CACHE_VERSION}.npz")
         if not (os.path.exists(pk_path) or os.path.exists(cached)):
-            out.setdefault("errors", []).append(
-                f"{circ}: reference keys not generated")
-            continue
-        if not os.path.exists(pk_path):
-            # cache exists at the CURRENT CACHE_VERSION (checked above), but
-            # a version bump with no pk.txt to rebuild from must fail loudly,
-            # not silently bench a stale parse
+            # distinguish "never generated" from "npz from an older
+            # CACHE_VERSION exists but there is no pk.txt to rebuild from"
             import glob
-            stale = [p for p in glob.glob(os.path.join(
-                PRFKEY, f"{circ}pk.v*.npz")) if p != cached]
-            if stale and not os.path.exists(cached):
+            stale = glob.glob(os.path.join(PRFKEY, f"{circ}pk.v*.npz"))
+            if stale:
                 out.setdefault("errors", []).append(
                     f"{circ}: npz cache is stale (found {stale}, need "
                     f"v{keys.CACHE_VERSION}) and no pk.txt to rebuild")
-                continue
+            else:
+                out.setdefault("errors", []).append(
+                    f"{circ}: reference keys not generated")
+            continue
         dpk = keys.load_or_build(pk_path)
 
         t0 = time.time()
@@ -84,8 +81,12 @@ def main():
 
         prover = Prover(dpk, lanes=LANES, window=WINDOW)
         t0 = time.time()
-        prover.prove(primary, aux, r=1, s=2)  # warm-up (compile)
+        prover.warmup()  # parallel compile/cache-load + program upload
+        warm_s = time.time() - t0
+        t0 = time.time()
+        prover.prove(primary, aux, r=1, s=2)
         compile_s = time.time() - t0
+        out[f"{circ}_warmup_sec"] = round(warm_s, 1)
 
         t0 = time.time()
         for i in range(REPS):

@@ -60,7 +60,12 @@ def compute_prf(sk: bytes, r: bytes) -> bytes:
 
 
 def compute_crh(pk: bytes, r: bytes) -> bytes:
-    """CRH for send: SHA256 over pk(160b)||r — see send/commitment.tcc:267."""
+    """CRH for send: SHA256 over pk(160b)||r(256b) — Compute_CRH writes
+    exactly 20 + 32 bytes (send/util.h:247-258); the circuit's pk_sender is
+    a 160-bit DigestVariable, so a wrong-width pk must fail here, not in
+    fill_with_bits deep inside witness generation."""
+    assert len(pk) == 20, f"CRH pk must be a 20-byte address, got {len(pk)}"
+    assert len(r) == 32, f"CRH r must be 32 bytes, got {len(r)}"
     return sha256(pk + r)
 
 

@@ -201,7 +201,11 @@ class Node:
         pk_recv160 = pubkey_to_address(*random_receiver_pk)
 
         new_random = _rand_hash()
-        new_rs = zapi.compute_crh(CS.address_hash(self.address), new_random)
+        # pk_sender is the 20-byte account address: the reference passes
+        # common.Address both to ComputeCRH (api.go:1665, zktx.go:274 pk[20])
+        # and as GenSendProof's pk_sender (api.go:1687, zktx.go:406) — the
+        # circuit's pk_sender DigestVariable is 160-bit.
+        new_rs = zapi.compute_crh(self.address, new_random)
         cmts = zapi.gen_cmt_s(value, pk_recv160, new_rs, sn.sn)
 
         new_sn = zapi.compute_prf(self.sk, new_random)
@@ -210,7 +214,7 @@ class Node:
 
         proof, _ = self.net.zktx.gen_send_proof(
             sn.value, new_value, value, self.sk, sn.random, new_random,
-            CS.address_hash(self.address), pk_recv160, sn_old=sn.sn)
+            self.address, pk_recv160, sn_old=sn.sn)
         aux = ZA.compute_aux(random_receiver_pk, value, new_rs, sn.sn)
 
         tx = CS.ZkTransaction(code=CS.TxCode.SEND, sender=self.address,

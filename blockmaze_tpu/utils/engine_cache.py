@@ -90,15 +90,24 @@ def cached_jit(name: str, fn, args_tree, statics: str = ""):
     key = f"{name}-{jax.default_backend()}-{code_fingerprint(name)}-" \
           f"{_arg_hash(args_tree, statics)}"
     path = os.path.join(CACHE_DIR, key + ".jaxexport")
+    verbose = bool(os.environ.get("BMTPU_VERBOSE"))
     exp = None
     if os.path.exists(path):
         try:
+            t0 = __import__("time").time()
             with open(path, "rb") as f:
                 exp = jexport.deserialize(f.read())
+            if verbose:
+                print(f"    [export] {key} deserialize: "
+                      f"{__import__('time').time() - t0:.2f}s", flush=True)
         except Exception:
             exp = None  # stale/corrupt artifact: re-export below
     if exp is None:
+        t0 = __import__("time").time()
         exp = jexport.export(jax.jit(fn))(*structs)
+        if verbose:
+            print(f"    [export] {key} trace+lower: "
+                  f"{__import__('time').time() - t0:.2f}s", flush=True)
         os.makedirs(CACHE_DIR, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:

@@ -101,6 +101,17 @@ class ZkTx:
         self.circuits = {name: CircuitContext(name, key_dir)
                          for name in ("mint", "send", "deposit", "redeem")}
 
+    def warm(self, names=None):
+        """Pre-load pks and compile/upload every prover graph, circuits in
+        parallel (each prover's warmup() itself parallelises its graph
+        loads). A fresh process otherwise pays the whole load serially
+        inside its first Gen*Proof call — the reference's 20 s pk
+        deserialize analogue (mintcgo.cpp:300-301)."""
+        import concurrent.futures as cf
+        names = list(names or self.circuits)
+        with cf.ThreadPoolExecutor(max_workers=len(names)) as ex:
+            list(ex.map(lambda n: self.circuits[n].prover.warmup(), names))
+
     # --- mint -----------------------------------------------------------
     def gen_mint_proof(self, value_old: int, value: int, value_s: int,
                        sk: bytes, r_old: bytes, r: bytes,

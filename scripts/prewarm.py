@@ -55,7 +55,9 @@ for circ in args.circuits.split(","):
     t1 = time.time()
     pb = WITNESS[circ]()
     prover = Prover(dpk, lanes=args.lanes, window=args.window)
+    prover.warmup()
+    t2 = time.time()
     prover.prove(pb.primary_input(), pb.auxiliary_input(), r=1, s=2)
-    print(f"[{circ}] pk load {t1-t0:.1f}s  first prove (incl. compile) "
-          f"{time.time()-t1:.1f}s", flush=True)
+    print(f"[{circ}] pk load {t1-t0:.1f}s  warmup {t2-t1:.1f}s  "
+          f"first prove {time.time()-t2:.1f}s", flush=True)
 print("PREWARM DONE")

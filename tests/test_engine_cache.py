@@ -18,6 +18,29 @@ def test_host_fingerprint_stable():
     assert len(cachedirs.host_fingerprint()) == 10
 
 
+def test_host_fingerprint_covers_model_identity():
+    """The r4 poisoning incident: identical flags lines on two hosts still
+    produced incompatible XLA:CPU executables (model-derived tuning
+    features). The fingerprint must hash the model identity lines too."""
+    with open("/proc/cpuinfo") as f:
+        keys = {ln.split(":", 1)[0].strip() for ln in f if ":" in ln}
+    covered = set(cachedirs._ID_KEYS) | {"flags", "Features"}
+    assert covered & keys, "no cpuinfo identity lines found at all"
+    if "model name" in keys:
+        assert "model name" in covered
+
+
+def test_cache_dir_partitioned_by_platform():
+    """CPU executables embed host features -> host-keyed dir; TPU programs
+    are host-independent -> shared per-platform dir."""
+    cpu = cachedirs.cache_dir("cpu")
+    tpu = cachedirs.cache_dir("tpu")
+    assert cpu != tpu
+    assert os.path.basename(cpu).startswith("cpu-")
+    assert os.path.basename(cpu).endswith(cachedirs.host_fingerprint())
+    assert os.path.basename(tpu) == "tpu"
+
+
 def test_code_fingerprint_covers_compute_sources():
     # per-family fingerprints (a Pippenger edit must not invalidate QAP
     # artifacts): both families hash, and differ from each other
