@@ -227,13 +227,20 @@ def _run_program(F, kind: str, inputs):
     dst = jnp.arange(n_in, R, dtype=jnp.int32)
 
     def body(regs, x):
-        # all three ops + scalar-predicate selects: lax.switch lowers to
-        # nested conditionals that cost ~10x more XLA:CPU compile time
+        # one lax.cond skips the (dominant) Montgomery mul on add/sub steps
+        # — the r4 flat-where form paid a full mul on EVERY step; a 3-way
+        # lax.switch measured ~10x more XLA:CPU compile time, but the
+        # 2-way cond stays cheap and cuts execution ~40% (programs are
+        # ~half add/sub steps)
         op, a, b, d = x
         va = jnp.take(regs, a, axis=0)
         vb = jnp.take(regs, b, axis=0)
-        res = jnp.where(op == 0, F.mul(va, vb),
-                        jnp.where(op == 1, F.add(va, vb), F.sub(va, vb)))
+        res = jax.lax.cond(
+            op == 0,
+            lambda va, vb: F.mul(va, vb),
+            lambda va, vb: jnp.where(op == 1, F.add(va, vb),
+                                     F.sub(va, vb)),
+            va, vb)
         return jax.lax.dynamic_update_index_in_dim(regs, res, d, 0), None
 
     regs, _ = jax.lax.scan(body, regs, (ops, sa, sb, dst))

@@ -17,6 +17,7 @@ All functions are shape-polymorphic over leading batch dims and jit-safe.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -143,6 +144,9 @@ def mont_mul(spec: FieldSpec, a, b):
       4. one carry propagation + one conditional subtraction.
     """
     if jax.default_backend() != "tpu":
+        # the flat form measured ~10x SLOWER to execute on XLA:CPU (the
+        # (...,16,16) outer product + 32 pad/add chains), on top of the
+        # compile blowup — r5 negative result; keep the rolled CIOS
         return _mont_mul_compact(spec, a, b)
     inv = np.uint32(spec.inv)
     qv = const_row(spec.p_limbs)  # (16,)
@@ -190,46 +194,60 @@ def mont_mul(spec: FieldSpec, a, b):
 
 
 def _mont_mul_compact(spec: FieldSpec, a, b):
-    """mont_mul with the convolution/reduction loops rolled (small graph;
-    see mont_mul docstring). Bit-identical results."""
+    """mont_mul with the CIOS loop rolled (small graph; see mont_mul
+    docstring). Bit-identical results.
+
+    Classic shifting CIOS: convolution and Montgomery reduction are
+    interleaved, and instead of placing row i at a loop-counter offset
+    (a DYNAMIC jnp.roll — lowered as a gather, the dominant cost of the
+    r4 form on XLA:CPU), the accumulator t is shifted right by one limb
+    with a STATIC slice each iteration:
+
+        t += a_i*b + m_i*q   (offsets 0/1, static)
+        t  = t >> 16 limbwise (static slice), carry folded lazily
+
+    After 16 iterations t IS the high half. One fori_loop, ~12 static
+    ops per iteration, no dynamic roll."""
     inv = np.uint32(spec.inv)
     qv = const_row(spec.p_limbs)
     batch = a.shape[:-1]
-    WIDTH = 2 * N + 1
+    WIDTH = N + 2  # N live limbs + carry headroom (lazy limbs < 2^22)
 
-    def pad_row(row):
+    def at0(row):
         pad = [(0, 0)] * row.ndim
         pad[-1] = (0, WIDTH - row.shape[-1])
         return jnp.pad(row, pad)
 
-    def conv_body(i, t):
+    def at1(row):
+        pad = [(0, 0)] * row.ndim
+        pad[-1] = (1, WIDTH - 1 - row.shape[-1])
+        return jnp.pad(row, pad)
+
+    def cios_body(i, t):
         ai = jnp.take(a, i, axis=-1)
-        row = ai[..., None] * b
-        t = t + jnp.roll(pad_row(row & MASK), i, axis=-1)
-        t = t + jnp.roll(pad_row(row >> W), i + 1, axis=-1)
+        row = ai[..., None] * b                       # (..., 16) exact u32
+        t = t + at0(row & MASK) + at1(row >> W)
+        m = ((jnp.take(t, 0, axis=-1)) * inv) & MASK
+        mq = m[..., None] * qv
+        t = t + at0(mq & MASK) + at1(mq >> W)
+        # t_0 ≡ 0 mod 2^16: shift one limb right, roll its carry into the
+        # (new) lowest limb — all offsets static
+        carry = jnp.take(t, 0, axis=-1) >> W
+        t = jnp.concatenate(
+            [t[..., 1:], jnp.zeros(batch + (1,), jnp.uint32)], axis=-1)
+        t = t.at[..., 0].add(carry)
         return t
 
     t = jax.lax.fori_loop(
-        0, N, conv_body, jnp.zeros(batch + (WIDTH,), jnp.uint32))
-
-    def red_body(i, t):
-        ti = jnp.take(t, i, axis=-1)
-        m = (ti * inv) & MASK
-        mq = m[..., None] * qv
-        t = t + jnp.roll(pad_row(mq & MASK), i, axis=-1)
-        t = t + jnp.roll(pad_row(mq >> W), i + 1, axis=-1)
-        ti2 = jnp.take(t, i, axis=-1)
-        t = t + jnp.roll(pad_row((ti2 >> W)[..., None]), i + 1, axis=-1)
-        return t
-
-    t = jax.lax.fori_loop(0, N, red_body, t)
+        0, N, cios_body, jnp.zeros(batch + (WIDTH,), jnp.uint32))
 
     res = []
     c = jnp.zeros(batch, jnp.uint32)
-    for j in range(N, 2 * N):
+    for j in range(N):
         s = t[..., j] + c
         res.append(s & MASK)
         c = s >> W
+    c = c + t[..., N]  # carry headroom limb
     return _cond_sub_p(spec, jnp.stack(res, axis=-1), c)
 
 

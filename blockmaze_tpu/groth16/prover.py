@@ -270,7 +270,12 @@ class Prover:
             return time.time() - t0
 
         t0 = time.time()
-        with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        # worker cap: on the TPU tunnel the jobs are IO/server-bound (one
+        # thread per job overlaps the executable loads); on CPU backends the
+        # jobs ARE the compiles — more threads than cores just thrash
+        workers = (len(jobs) if jax.default_backend() == "tpu"
+                   else max(1, min(len(jobs), (os.cpu_count() or 2))))
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             times = list(ex.map(_run, jobs))
         if self.verbose or profiler.enabled:
             print(f"    [prover] warmup jobs: "

@@ -81,12 +81,17 @@ def _digits_for_window(limbs, w: int, c: int):
 
 
 def stream_keys(curve: str, points, scalars, c: int):
-    """Shared sort-phase front end (also used by scripts/msmbench.py so the
-    benchmark cannot drift from the kernel): packs the affine points into
-    single gather-friendly rows and builds the (window, digit) sort keys with
-    zero-digit / infinity items sent to the DROP sentinel.
+    """Shared SORTED sort-phase front end (also used by scripts/msmbench.py
+    so the benchmark cannot drift from the kernel): packs the affine points
+    into single gather-friendly rows, builds the per-window digit keys with
+    zero-digit / infinity items sent past the live digits, and sorts EACH
+    WINDOW independently. Global bucket order is window-major then digit,
+    so W independent n-item sorts produce exactly the global key order of
+    one W·n-item sort — at n log n instead of (W·n) log(W·n) comparator
+    depth (XLA sort cost is superlinear; measured win on the 2^19 stream).
 
-    Returns (P_packed (n, CW), keys (W*n,), DROP)."""
+    Returns (P_packed (n, CW), skeys (W*n,) sorted global keys with DROP
+    sentinels, spid (W*n,) int32 point ids in stream order, DROP)."""
     X, Y, inf = points
     n = X.shape[0]
     n_windows = -(-SCALAR_BITS // c)
@@ -94,14 +99,17 @@ def stream_keys(curve: str, points, scalars, c: int):
     DROP = jnp.uint32(n_windows * n_buckets)
     digits = jnp.stack([_digits_for_window(scalars, w, c)
                         for w in range(n_windows)])        # (W, n)
+    dead = (digits == 0) | inf[None, :]
+    dsort = jnp.where(dead, jnp.uint32(n_buckets), digits)
+    order = jnp.argsort(dsort, axis=1)                     # (W, n)
+    sdig = jnp.take_along_axis(dsort, order, axis=1)
     win_base = (jnp.arange(n_windows, dtype=jnp.uint32) * n_buckets)[:, None]
-    keys = (digits + win_base).reshape(-1)                 # (W*n,)
-    dead = (digits.reshape(-1) == 0) | jnp.tile(inf, n_windows)
-    keys = jnp.where(dead, DROP, keys)
+    skeys = jnp.where(sdig < n_buckets, sdig + win_base, DROP).reshape(-1)
+    spid = order.astype(jnp.int32).reshape(-1)
     coord_w = 16 if curve == "g1" else 32
     P = jnp.concatenate([X.reshape(n, coord_w), Y.reshape(n, coord_w),
                          inf.astype(jnp.uint32)[:, None]], axis=1)
-    return P, keys, DROP
+    return P, skeys, spid, DROP
 
 
 def default_window(n: int) -> int:
@@ -183,35 +191,25 @@ def _item_step(curve, use_blind, DROPu, key, px, py, pinf,
 
 @lru_cache(maxsize=None)
 def _round_kernel(curve: str, use_blind: bool, DROP: int):
-    """Build the fused round kernel: one grid step processes ONE stream item
-    for a block of BLK lanes; the K axis rides the (sequential) Pallas grid so
-    the acc/head/meta out-refs persist in VMEM across a lane block's K items
-    (standard revisited-block accumulation). All bookkeeping that the per-item
-    formulation did in XLA glue — run reset, head tracking, flush detection,
-    limb-major transposes — runs in VMEM here (straight-line formulas:
-    vm=False — the VM's program arrays would be captured constants, and
-    Mosaic fuses the straight-line form anyway)."""
+    """Build the fused round kernel: one grid step processes a lane block's
+    whole round — K stream items walked by an IN-KERNEL fori_loop with the
+    acc/head/meta state as loop carry in VMEM. The r4 kernel put the K axis
+    on the Pallas grid (one item per grid step); PROFILE_r4 bisected the
+    round phase to ~60 ns/item against a 33 ns/item mixed-add floor, and the
+    gap tracked the 10240-step grid, not the op mix — kernel prologue/
+    epilogue and state copies per step. Looping K items inside one step cuts
+    the grid 16-32x. All bookkeeping — run reset, head tracking, flush
+    detection — stays in VMEM (straight-line formulas: vm=False — the VM's
+    program arrays would be captured constants, and Mosaic fuses the
+    straight-line form anyway)."""
 
     def kernel(keys_ref, rows_ref, ax_ref, ay_ref, az_ref, meta_ref,
                hx_ref, hy_ref, hz_ref, bx_ref, by_ref,
                ax_o, ay_o, az_o, meta_o, hx_o, hy_o, hz_o,
                fkey_o, fpack_o):
-        k = pl.program_id(1)
         DROPu = jnp.uint32(DROP)
+        K = keys_ref.shape[0]
 
-        @pl.when(k == 0)
-        def _():
-            ax_o[...] = ax_ref[...]
-            ay_o[...] = ay_ref[...]
-            az_o[...] = az_ref[...]
-            meta_o[...] = meta_ref[...]
-            hx_o[...] = hx_ref[...]
-            hy_o[...] = hy_ref[...]
-            hz_o[...] = hz_ref[...]
-
-        key = keys_ref[0, 0, :]                    # (BLK,)
-        rows = rows_ref[0]                         # (CW, BLK) limb-major
-        px, py, pinf = _unpack_item(curve, rows, key, DROPu)
         if curve == "g1":
             binit = (jnp.broadcast_to(bx_ref[:, 0:1], ax_o.shape),
                      jnp.broadcast_to(by_ref[:, 0:1], ax_o.shape))
@@ -219,16 +217,28 @@ def _round_kernel(curve: str, use_blind: bool, DROP: int):
             binit = (jnp.broadcast_to(bx_ref[:, :, 0:1], ax_o.shape),
                      jnp.broadcast_to(by_ref[:, :, 0:1], ax_o.shape))
 
-        acc = (ax_o[...], ay_o[...], az_o[...])
-        meta = (meta_o[0, :], meta_o[1, :], meta_o[2, :])
-        head = (hx_o[...], hy_o[...], hz_o[...])
-        acc, meta, head, fkey, fpack = _item_step(
-            curve, use_blind, DROPu, key, px, py, pinf, acc, meta, head,
-            binit, vm=False)
-        fkey_o[0, 0, :] = fkey
-        fpack_o[0] = fpack
+        acc = (ax_ref[...], ay_ref[...], az_ref[...])
+        meta2 = meta_ref[...]                      # (3, BLK): 2-D carry —
+        head = (hx_ref[...], hy_ref[...], hz_ref[...])  # Mosaic's layout
+        # pass rejects 1-D loop-carried values (implicit-dim rank check)
+
+        def body(k, st):
+            acc, meta2, head = st
+            # dynamic leading index via size-1 slices, then a static [0]
+            key = keys_ref[pl.ds(k, 1), 0, :][0]   # (BLK,)
+            rows = rows_ref[pl.ds(k, 1)][0]        # (CW, BLK) limb-major
+            px, py, pinf = _unpack_item(curve, rows, key, DROPu)
+            meta = (meta2[0], meta2[1], meta2[2])
+            acc, meta, head, fkey, fpack = _item_step(
+                curve, use_blind, DROPu, key, px, py, pinf, acc, meta,
+                head, binit, vm=False)
+            fkey_o[pl.ds(k, 1), 0, :] = fkey[None, :]
+            fpack_o[pl.ds(k, 1)] = fpack[None]
+            return (acc, jnp.stack(meta), head)
+
+        acc, meta2, head = jax.lax.fori_loop(0, K, body, (acc, meta2, head))
         ax_o[...], ay_o[...], az_o[...] = acc
-        meta_o[0, :], meta_o[1, :], meta_o[2, :] = meta
+        meta_o[...] = meta2
         hx_o[...], hy_o[...], hz_o[...] = head
 
     return kernel
@@ -347,7 +357,7 @@ def _fold_pallas(curve: str, c: int, n_windows: int, win):
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 6))
 def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
-        blind=None, kitems: int = 16):
+        blind=None, kitems: int = 32):
     """points = (X, Y, inf) affine Montgomery tensors; scalars = (n, 16)
     uint32 standard-form (non-Montgomery) limbs. curve in {"g1", "g2"}.
     Returns a single Jacobian point (coordinate tensors without batch dim).
@@ -374,13 +384,10 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     # ---- 1. keys + physically reorder the PACKED point stream ----------
     # TPU gathers of 64-byte rows run ~3.5M rows/s (catastrophic); gathering
     # ONE packed (X‖Y‖inf) row of 132/260 bytes runs at near-HBM speed. So:
-    # argsort the keys; the per-round packed gather below then reads point
-    # rows in bucket order.
-    P, keys, DROP = stream_keys(curve, points, scalars, c)
+    # per-window key sort (stream_keys); the per-round packed gather below
+    # then reads point rows in bucket order.
+    P, skeys, spid, DROP = stream_keys(curve, points, scalars, c)
     CW = P.shape[1]
-    order = jnp.argsort(keys)
-    skeys = keys[order]
-    spid = (order % n).astype(jnp.int32)
 
     # ---- 2. fused-round segmented reduction ----------------------------
     # Lane t walks the contiguous sorted range [t*L, (t+1)*L) in rounds of K
@@ -425,17 +432,17 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     nb = T // BLK
     cblk = cshape[:-1] + (BLK,)
     if curve == "g1":
-        cmap = lambda b, k: (0, b)
-        bmap = lambda b, k: (0, 0)
+        cmap = lambda b: (0, b)
+        bmap = lambda b: (0, 0)
     else:
-        cmap = lambda b, k: (0, 0, b)
-        bmap = lambda b, k: (0, 0, 0)
+        cmap = lambda b: (0, 0, b)
+        bmap = lambda b: (0, 0, 0)
     cspec = pl.BlockSpec(cblk, cmap)
     bspec = pl.BlockSpec(cshape[:-1] + (1,), bmap)
-    mspec = pl.BlockSpec((3, BLK), lambda b, k: (0, b))
-    kspec = pl.BlockSpec((1, 1, BLK), lambda b, k: (k, 0, b))
-    rspec = pl.BlockSpec((1, CW, BLK), lambda b, k: (k, 0, b))
-    fspec = pl.BlockSpec((1, packw, BLK), lambda b, k: (k, 0, b))
+    mspec = pl.BlockSpec((3, BLK), lambda b: (0, b))
+    kspec = pl.BlockSpec((K, 1, BLK), lambda b: (0, 0, b))
+    rspec = pl.BlockSpec((K, CW, BLK), lambda b: (0, 0, b))
+    fspec = pl.BlockSpec((K, packw, BLK), lambda b: (0, 0, b))
 
     acc0 = (jnp.broadcast_to(bx, cshape) if use_blind else zero_c,
             jnp.broadcast_to(by, cshape) if use_blind else one_c,
@@ -454,10 +461,11 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
         idx_r = idx_r.reshape(T, K).T                         # (K, T)
         rows = jnp.take(P, idx_r.reshape(-1), axis=0).reshape(K, T, CW)
         rows = jnp.swapaxes(rows, 1, 2)                       # (K, CW, T)
-        if _interpret():
-            # non-TPU: same semantics through the shared _item_step, but as
-            # plain XLA (interpret-mode Pallas would still trace the
-            # straight-line madd once per grid step: minutes of CPU compile)
+        if not USE_PALLAS():
+            # XLA driver (CPU backends, BMTPU_PALLAS=0 escape hatch): same
+            # semantics through the shared _item_step, but as plain XLA
+            # (interpret-mode Pallas would still trace the straight-line
+            # madd once per grid step: minutes of CPU compile)
             acc, meta, head, fkeys, fpack = _xla_round(
                 curve, use_blind, total_buckets, K, packw,
                 keys_r, rows, acc, meta, head, bx, by)
@@ -465,7 +473,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
         else:
             out = pl.pallas_call(
                 kern,
-                grid=(nb, K),
+                grid=(nb,),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
                 in_specs=[kspec, rspec, cspec, cspec, cspec, mspec,
@@ -495,10 +503,11 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     # TPU: rounds unrolled in Python — a pallas_call inside a lax.while body
     # gets its result tuple stack-allocated in scoped VMEM by this XLA
     # version (46 MB > 16 MB limit at real sizes); unrolled, results are
-    # plain HBM buffers, and rounds is ~20-40 so the traced graph stays
-    # small. CPU: rolled fori_loop — the XLA:CPU compile is superlinear in
-    # graph size (an unrolled 104-round mesh shard measured >1 h to compile).
-    if _interpret():
+    # plain HBM buffers, and rounds is ~10-40 so the traced graph stays
+    # small. XLA driver (CPU / BMTPU_PALLAS=0): rolled fori_loop — the
+    # XLA:CPU compile is superlinear in graph size (an unrolled 104-round
+    # mesh shard measured >1 h to compile).
+    if not USE_PALLAS():
         bkt, accM, meta, headM = jax.lax.fori_loop(
             0, rounds, round_body, (bkt0, acc0, meta0, head0))
     else:
@@ -534,93 +543,118 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     bkeys = jnp.stack([head_key, cur_key], axis=1).reshape(-1)      # (2T,)
     bpts = tuple(jnp.stack([h, a], axis=1).reshape((-1,) + h.shape[1:])
                  for h, a in zip(head_sum, acc))
-    # per-partial blind counts: the head partial carries one R iff the lane
-    # completed a first run (seen_change); the tail accumulator always
-    # carries one (dropped with its key if the lane never saw a live item)
-    bcnt = jnp.stack([seen_change.astype(jnp.uint32),
-                      jnp.ones((T,), jnp.uint32)], axis=1).reshape(-1)
     # flag-based segmented inclusive scan, Hillis-Steele over a fori_loop so
     # point_add is instantiated ONCE in the graph (associative_scan would
-    # inline the combine ~2·log(n) times and blow up compile time)
+    # inline the combine ~2·log(n) times and blow up compile time). The
+    # blind counts (one R per head partial iff the lane completed a first
+    # run, one per tail accumulator) only ride the scan when blinding is on.
     flags = jnp.concatenate([jnp.array([True]), bkeys[1:] != bkeys[:-1]])
     nb = bkeys.shape[0]
     steps = max(1, (nb - 1).bit_length())
     pos = jnp.arange(nb)
 
     def seg_body(i, state):
-        pts, cn, fl = state
+        if use_blind:
+            pts, cn, fl = state
+        else:
+            pts, fl = state
         shift = jnp.left_shift(jnp.int32(1), i)
         prev = tuple(jnp.roll(p, shift, axis=0) for p in pts)
-        prev_cn = jnp.roll(cn, shift, axis=0)
         prev_fl = jnp.roll(fl, shift, axis=0)
         valid = pos >= shift
         s = _k_add(curve, F, prev, pts)
         take = valid & ~fl  # no segment start in (j-shift, j]
         pts = tuple(F.select(take, sv, pv) for sv, pv in zip(s, pts))
-        cn = jnp.where(take, prev_cn + cn, cn)
-        fl = fl | (valid & prev_fl)
-        return (pts, cn, fl)
+        fl2 = fl | (valid & prev_fl)
+        if use_blind:
+            cn = jnp.where(take, jnp.roll(cn, shift, axis=0) + cn, cn)
+            return (pts, cn, fl2)
+        return (pts, fl2)
 
-    (bpts, bcnt, _) = jax.lax.fori_loop(0, steps, seg_body,
-                                        (bpts, bcnt, flags))
+    if use_blind:
+        bcnt = jnp.stack([seen_change.astype(jnp.uint32),
+                          jnp.ones((T,), jnp.uint32)], axis=1).reshape(-1)
+        (bpts, bcnt, _) = jax.lax.fori_loop(0, steps, seg_body,
+                                            (bpts, bcnt, flags))
+    else:
+        (bpts, _) = jax.lax.fori_loop(0, steps, seg_body, (bpts, flags))
     run_end = jnp.concatenate([bkeys[:-1] != bkeys[1:], jnp.array([True])])
     widx = jnp.where(run_end & (bkeys < DROP), bkeys, DROP).astype(jnp.int32)
     buckets = tuple(b.at[widx].set(v, mode="drop")
                     for b, v in zip(buckets, bpts))
-    if blind is not None:
+    if use_blind:
         cnt = cnt.at[widx].set(bcnt, mode="drop")
 
     # ---- 4. triangle + window fold ------------------------------------
     bw = tuple(b.reshape((n_windows, n_buckets) + b.shape[1:])[:, 1:]
                for b in buckets)  # drop bucket 0 (weight 0)
     B1 = n_buckets - 1
-    bpos = jnp.arange(B1)
 
-    # suffix sums R_j = Σ_{d>=j} S_d (reverse Hillis-Steele, 1 add instance)
-    def suf_body(i, pts):
-        shift = jnp.left_shift(jnp.int32(1), i)
-        nxt = tuple(jnp.roll(p, -shift, axis=1) for p in pts)
-        s = _k_add(curve, F, pts, nxt)
-        take = bpos < (B1 - shift)
-        return tuple(F.select(take[None, :], sv, pv)
-                     for sv, pv in zip(s, pts))
-
-    suf = jax.lax.fori_loop(0, max(1, (B1 - 1).bit_length()), suf_body, bw)
-
-    # window sum Σ_j R_j (forward inclusive Hillis-Steele, 1 add instance)
-    def sum_body(i, pts):
-        shift = jnp.left_shift(jnp.int32(1), i)
-        prev = tuple(jnp.roll(p, shift, axis=1) for p in pts)
-        s = _k_add(curve, F, prev, pts)
-        take = bpos >= shift
-        return tuple(F.select(take[None, :], sv, pv)
-                     for sv, pv in zip(s, pts))
-
-    # window total Σ_j R_j: only the reduction value is needed
     if USE_PALLAS():
-        # pairwise halving tree: work B1 instead of B1·log B1 (13 kernel
-        # shapes, cheap under Mosaic)
-        pad1 = _zeros_pts(F, curve, n_windows)
-        red = tuple(jnp.concatenate([p, z[:, None]], axis=1)
-                    for p, z in zip(suf, pad1))  # (W, B1+1) with inf pad
+        # weighted-pair tree: win_w = Σ_d d·S_d directly, ~5·2^c point ops
+        # per window instead of the r4 suffix Hillis-Steele + halving tree
+        # (14·2^c) — PROFILE_r4 lever #2. Each node of the pairwise tree
+        # carries (s, t, w): s = Σ S over its block, t = blocksize·s,
+        # w = Σ (local index)·S. Combine of two size-m blocks:
+        #   w' = w_lo + w_hi + t_hi       (t_hi = m·s_hi shifts Hi indices)
+        #   t' = 2·(t_lo + t_hi)          (= 2m·s')
+        #   s' = s_lo + s_hi
+        # Root: Σ j·S_j with 0-based j; win = root.w + root.s rebases to
+        # d = j+1 (bucket 0 was dropped). Infinity-pad to 2^c: the pad's
+        # weighted contribution is the identity.
+        zx = _zeros_pts(F, curve, n_windows)
+        s = tuple(jnp.concatenate([p, z[:, None]], axis=1)
+                  for p, z in zip(bw, zx))                    # (W, 2^c, ...)
+        t = s
+        w = tuple(jnp.broadcast_to(z[:, None], p.shape)
+                  for p, z in zip(s, zx))
         size = B1 + 1
         while size > 1:
             half = size // 2
-            red = _k_add(curve, F,
-                         tuple(p[:, :half] for p in red),
-                         tuple(p[:, half:] for p in red))
+
+            def _sp(p, which):
+                v = p.reshape((n_windows, half, 2) + p.shape[2:])
+                return v[:, :, which]
+
+            s_lo = tuple(_sp(p, 0) for p in s)
+            s_hi = tuple(_sp(p, 1) for p in s)
+            t_hi = tuple(_sp(p, 1) for p in t)
+            w_pair = _k_add(curve, F, tuple(_sp(p, 0) for p in w),
+                            tuple(_sp(p, 1) for p in w))
+            w = _k_add(curve, F, w_pair, t_hi)
+            s = _k_add(curve, F, s_lo, s_hi)
+            if half > 1:  # root's t is never read
+                t = _k_double(curve, F,
+                              _k_add(curve, F, tuple(_sp(p, 0) for p in t),
+                                     t_hi))
             size = half
-        win = tuple(p[:, 0] for p in red)  # (W, ...) one point per window
+        win = _k_add(curve, F, tuple(p[:, 0] for p in w),
+                     tuple(p[:, 0] for p in s))   # (W, ...) per window
     else:
-        # forward inclusive Hillis-Steele: a single point_add instance keeps
-        # the XLA CPU graph small (compile time dominates there)
+        bpos = jnp.arange(B1)
+
+        # suffix sums R_j = Σ_{d>=j} S_d (reverse Hillis-Steele, one add
+        # instance) followed by the forward inclusive sum: a single
+        # point_add instance per loop keeps the XLA CPU graph small
+        # (compile time dominates there)
+        def suf_body(i, pts):
+            shift = jnp.left_shift(jnp.int32(1), i)
+            nxt = tuple(jnp.roll(p, -shift, axis=1) for p in pts)
+            sv = _k_add(curve, F, pts, nxt)
+            take = bpos < (B1 - shift)
+            return tuple(F.select(take[None, :], a, b)
+                         for a, b in zip(sv, pts))
+
+        suf = jax.lax.fori_loop(0, max(1, (B1 - 1).bit_length()),
+                                suf_body, bw)
+
         def sum_body(i, pts):
             shift = jnp.left_shift(jnp.int32(1), i)
             prev = tuple(jnp.roll(p, shift, axis=1) for p in pts)
-            s = _k_add(curve, F, prev, pts)
+            sv = _k_add(curve, F, prev, pts)
             take = bpos >= shift
-            return tuple(F.select(take[None, :], sv, pv)
-                         for sv, pv in zip(s, pts))
+            return tuple(F.select(take[None, :], a, b)
+                         for a, b in zip(sv, pts))
 
         tot = jax.lax.fori_loop(0, max(1, (B1 - 1).bit_length()), sum_body,
                                 suf)

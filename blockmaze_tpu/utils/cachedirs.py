@@ -71,10 +71,13 @@ def _legacy_fingerprint() -> str:
 def cache_dir(plat: str) -> str:
     if plat == "cpu":
         return os.path.join(BASE, "cpu-" + host_fingerprint())
+    if plat == "axon":
+        plat = "tpu"  # the tunnel plugin IS the tpu backend (one program
+        #               cache, whether selected as "axon" or auto-detected)
     d = os.path.join(BASE, plat)
     if not os.path.isdir(d):
         legacy = os.path.join(BASE, _legacy_fingerprint())
-        if os.path.isdir(legacy):
+        if os.path.isdir(legacy) and not os.path.islink(legacy):
             try:  # stray CPU entries inside are unreachable, not harmful:
                 os.rename(legacy, d)  # cpu processes use cpu-<fp> dirs now
             except OSError:

@@ -54,8 +54,10 @@ def code_fingerprint(name: str = "") -> str:
             with open(os.path.join(root, rel), "rb") as f:
                 h.update(f.read())
         h.update(jax.__version__.encode())
-        # env toggles that change the traced graph
+        # env toggles that change the traced graph (advisor r4: BMTPU_MSM_BLK
+        # is read at trace time; a cached artifact must not mask a change)
         h.update(os.environ.get("BMTPU_PALLAS", "1").encode())
+        h.update(os.environ.get("BMTPU_MSM_BLK", "1024").encode())
         _FP[fam] = h.hexdigest()[:16]
     return _FP[fam]
 

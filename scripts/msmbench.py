@@ -100,29 +100,13 @@ def main():
 
 
 def _phase_timings(curve, pts, sc, n):
-    """Split timing using the module's own internals (duplicated slicing of
-    msm() — keep in sync when the kernel changes)."""
+    """Split timing through the module's OWN sort-phase front end
+    (pp.stream_keys) so the benchmark cannot drift from the kernel."""
     c, lanes = args.window, args.lanes
-    F = JC.FqOps if curve == "g1" else JC.Fq2Ops
-    n_windows = -(-pp.SCALAR_BITS // c)
-    n_buckets = 1 << c
 
     @jax.jit
     def phase_sort(points, scalars):
-        X, Y, inf = points
-        digits = jnp.stack([pp._digits_for_window(scalars, w, c)
-                            for w in range(n_windows)])
-        win_base = (jnp.arange(n_windows, dtype=jnp.uint32)
-                    * n_buckets)[:, None]
-        keys = (digits + win_base).reshape(-1)
-        dead = (digits.reshape(-1) == 0) | jnp.tile(inf, n_windows)
-        keys = jnp.where(dead, jnp.uint32(n_windows * n_buckets), keys)
-        coord_w = 16 if curve == "g1" else 32
-        P = jnp.concatenate([X.reshape(n, coord_w), Y.reshape(n, coord_w),
-                             inf.astype(jnp.uint32)[:, None]], axis=1)
-        order = jnp.argsort(keys)
-        skeys = keys[order]
-        spid = (order % n).astype(jnp.int32)
+        P, skeys, spid, DROP = pp.stream_keys(curve, points, scalars, c)
         stream = jnp.take(P, spid, axis=0)
         return skeys, stream
 
