@@ -191,25 +191,42 @@ def _item_step(curve, use_blind, DROPu, key, px, py, pinf,
 
 @lru_cache(maxsize=None)
 def _round_kernel(curve: str, use_blind: bool, DROP: int):
-    """Build the fused round kernel: one grid step processes a lane block's
-    whole round — K stream items walked by an IN-KERNEL fori_loop with the
-    acc/head/meta state as loop carry in VMEM. The r4 kernel put the K axis
-    on the Pallas grid (one item per grid step); PROFILE_r4 bisected the
-    round phase to ~60 ns/item against a 33 ns/item mixed-add floor, and the
-    gap tracked the 10240-step grid, not the op mix — kernel prologue/
-    epilogue and state copies per step. Looping K items inside one step cuts
-    the grid 16-32x. All bookkeeping — run reset, head tracking, flush
-    detection — stays in VMEM (straight-line formulas: vm=False — the VM's
-    program arrays would be captured constants, and Mosaic fuses the
-    straight-line form anyway)."""
+    """Build the fused round kernel: one grid step processes ONE stream item
+    for a block of BLK lanes; the K axis rides the (sequential) Pallas grid
+    so the acc/head/meta out-refs persist in VMEM across a lane block's K
+    items (standard revisited-block accumulation). All bookkeeping that the
+    per-item formulation did in XLA glue — run reset, head tracking, flush
+    detection, limb-major transposes — runs in VMEM here (straight-line
+    formulas: vm=False — the VM's program arrays would be captured
+    constants, and Mosaic fuses the straight-line form anyway).
+
+    r5 negative result, kept for the record: walking the K items with an
+    IN-KERNEL fori_loop (grid 16-32x smaller) measured the same wall clock
+    while growing the compiled executable 2.5x (383 MB vs 150 MB — dynamic
+    VMEM indexing makes Mosaic generate far more code), which costs every
+    fresh process ~2 min of extra program-load on the tunnel backend. The
+    per-item grid form is the better trade."""
 
     def kernel(keys_ref, rows_ref, ax_ref, ay_ref, az_ref, meta_ref,
                hx_ref, hy_ref, hz_ref, bx_ref, by_ref,
                ax_o, ay_o, az_o, meta_o, hx_o, hy_o, hz_o,
                fkey_o, fpack_o):
+        k = pl.program_id(1)
         DROPu = jnp.uint32(DROP)
-        K = keys_ref.shape[0]
 
+        @pl.when(k == 0)
+        def _():
+            ax_o[...] = ax_ref[...]
+            ay_o[...] = ay_ref[...]
+            az_o[...] = az_ref[...]
+            meta_o[...] = meta_ref[...]
+            hx_o[...] = hx_ref[...]
+            hy_o[...] = hy_ref[...]
+            hz_o[...] = hz_ref[...]
+
+        key = keys_ref[0, 0, :]                    # (BLK,)
+        rows = rows_ref[0]                         # (CW, BLK) limb-major
+        px, py, pinf = _unpack_item(curve, rows, key, DROPu)
         if curve == "g1":
             binit = (jnp.broadcast_to(bx_ref[:, 0:1], ax_o.shape),
                      jnp.broadcast_to(by_ref[:, 0:1], ax_o.shape))
@@ -217,28 +234,16 @@ def _round_kernel(curve: str, use_blind: bool, DROP: int):
             binit = (jnp.broadcast_to(bx_ref[:, :, 0:1], ax_o.shape),
                      jnp.broadcast_to(by_ref[:, :, 0:1], ax_o.shape))
 
-        acc = (ax_ref[...], ay_ref[...], az_ref[...])
-        meta2 = meta_ref[...]                      # (3, BLK): 2-D carry —
-        head = (hx_ref[...], hy_ref[...], hz_ref[...])  # Mosaic's layout
-        # pass rejects 1-D loop-carried values (implicit-dim rank check)
-
-        def body(k, st):
-            acc, meta2, head = st
-            # dynamic leading index via size-1 slices, then a static [0]
-            key = keys_ref[pl.ds(k, 1), 0, :][0]   # (BLK,)
-            rows = rows_ref[pl.ds(k, 1)][0]        # (CW, BLK) limb-major
-            px, py, pinf = _unpack_item(curve, rows, key, DROPu)
-            meta = (meta2[0], meta2[1], meta2[2])
-            acc, meta, head, fkey, fpack = _item_step(
-                curve, use_blind, DROPu, key, px, py, pinf, acc, meta,
-                head, binit, vm=False)
-            fkey_o[pl.ds(k, 1), 0, :] = fkey[None, :]
-            fpack_o[pl.ds(k, 1)] = fpack[None]
-            return (acc, jnp.stack(meta), head)
-
-        acc, meta2, head = jax.lax.fori_loop(0, K, body, (acc, meta2, head))
+        acc = (ax_o[...], ay_o[...], az_o[...])
+        meta = (meta_o[0, :], meta_o[1, :], meta_o[2, :])
+        head = (hx_o[...], hy_o[...], hz_o[...])
+        acc, meta, head, fkey, fpack = _item_step(
+            curve, use_blind, DROPu, key, px, py, pinf, acc, meta, head,
+            binit, vm=False)
+        fkey_o[0, 0, :] = fkey
+        fpack_o[0] = fpack
         ax_o[...], ay_o[...], az_o[...] = acc
-        meta_o[...] = meta2
+        meta_o[0, :], meta_o[1, :], meta_o[2, :] = meta
         hx_o[...], hy_o[...], hz_o[...] = head
 
     return kernel
@@ -432,17 +437,17 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
     nb = T // BLK
     cblk = cshape[:-1] + (BLK,)
     if curve == "g1":
-        cmap = lambda b: (0, b)
-        bmap = lambda b: (0, 0)
+        cmap = lambda b, k: (0, b)
+        bmap = lambda b, k: (0, 0)
     else:
-        cmap = lambda b: (0, 0, b)
-        bmap = lambda b: (0, 0, 0)
+        cmap = lambda b, k: (0, 0, b)
+        bmap = lambda b, k: (0, 0, 0)
     cspec = pl.BlockSpec(cblk, cmap)
     bspec = pl.BlockSpec(cshape[:-1] + (1,), bmap)
-    mspec = pl.BlockSpec((3, BLK), lambda b: (0, b))
-    kspec = pl.BlockSpec((K, 1, BLK), lambda b: (0, 0, b))
-    rspec = pl.BlockSpec((K, CW, BLK), lambda b: (0, 0, b))
-    fspec = pl.BlockSpec((K, packw, BLK), lambda b: (0, 0, b))
+    mspec = pl.BlockSpec((3, BLK), lambda b, k: (0, b))
+    kspec = pl.BlockSpec((1, 1, BLK), lambda b, k: (k, 0, b))
+    rspec = pl.BlockSpec((1, CW, BLK), lambda b, k: (k, 0, b))
+    fspec = pl.BlockSpec((1, packw, BLK), lambda b, k: (k, 0, b))
 
     acc0 = (jnp.broadcast_to(bx, cshape) if use_blind else zero_c,
             jnp.broadcast_to(by, cshape) if use_blind else one_c,
@@ -473,7 +478,7 @@ def msm(curve: str, points, scalars, c: int = 13, lanes: int = 1024,
         else:
             out = pl.pallas_call(
                 kern,
-                grid=(nb,),
+                grid=(nb, K),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
                 in_specs=[kspec, rspec, cspec, cspec, cspec, mspec,

@@ -55,9 +55,16 @@ from blockmaze_tpu.parallel import mesh as pm
 from blockmaze_tpu.msm import pippenger as pp
 from blockmaze_tpu.fields.constants import R_MOD
 
-dist.initialize(args.coordinator, args.num_processes, args.process_id)
+IS_DIST = dist.initialize(args.coordinator, args.num_processes,
+                          args.process_id)
+PID = jax.process_index() if IS_DIST else 0
 if args.lanes is None:
     args.lanes = 32768 if jax.default_backend() == "tpu" else 1024
+
+
+def say(*a):
+    if PID == 0:
+        print(*a, flush=True)
 
 n = args.n
 rng = np.random.RandomState(11)
@@ -72,10 +79,10 @@ def load_points():
         dpk = keys.load_or_build(pk)
         X, Y, inf = dpk.A
         if X.shape[0] >= n:
-            print(f"# points: real mint A-query[:{n}]")
+            say(f"# points: real mint A-query[:{n}]")
             return X[:n], Y[:n], inf[:n]
     except Exception as e:
-        print(f"# mint pk unavailable ({e}); synthetic points")
+        say(f"# mint pk unavailable ({e}); synthetic points")
     cache = f"/root/.cache/bmtpu_synth_{n}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
@@ -99,11 +106,30 @@ avail = len(jax.devices())
 rows = []
 for n_dev in args.devices:
     if n_dev > avail:
-        print(f"# skip n_dev={n_dev} (only {avail} devices)")
+        say(f"# skip n_dev={n_dev} (only {avail} devices)")
         continue
     mesh = pm.make_mesh(n_dev)
-    pts = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf))
-    sc = jnp.asarray(scalars)
+    if IS_DIST:
+        # multi-controller: every process holds the same host data and
+        # assembles GLOBAL arrays sharded over the (possibly cross-process)
+        # mesh — collectives then ride the distributed runtime (the DCN
+        # path on real pods; socket transport on the localhost rehearsal)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+
+        def gput(a, spec):
+            sh = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(a.shape, sh,
+                                                lambda idx: a[idx])
+
+        pts = (gput(X, P(ax, *[None] * (X.ndim - 1))),
+               gput(Y, P(ax, *[None] * (Y.ndim - 1))),
+               gput(inf, P(ax)))
+        sc = gput(scalars, P(ax, None))
+    else:
+        pts = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(inf))
+        sc = jnp.asarray(scalars)
 
     def run():
         return jax.block_until_ready(pm.sharded_msm(
@@ -120,7 +146,7 @@ for n_dev in args.devices:
     mpts = n / dt / 1e6
     base = rows[0][1]
     eff = base / (dt * n_dev / rows[0][0])
-    print(f"n_dev={n_dev:2d}  {dt*1e3:9.1f} ms/msm  {mpts:8.3f} Mpoints/s  "
+    say(f"n_dev={n_dev:2d}  {dt*1e3:9.1f} ms/msm  {mpts:8.3f} Mpoints/s  "
           f"efficiency {eff*100:5.1f}%  (first-run {compile_s:.1f}s)")
 
 out = {
@@ -130,4 +156,4 @@ out = {
     "rows": [{"n_dev": d, "sec_per_msm": round(t, 4),
               "mpoints_per_sec": round(n / t / 1e6, 3)} for d, t, _ in rows],
 }
-print(json.dumps(out))
+say(json.dumps(out))

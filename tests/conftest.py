@@ -11,17 +11,22 @@ import os
 # must override it — unit tests run on the host CPU with 8 virtual devices.
 # NB: a pytest plugin imports jax before this conftest runs, so setting the
 # env var alone is not enough; update the live config as well.
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# BMTPU_TPU_TESTS=1 keeps the real TPU backend so the tpu-only parity tests
+# (test_tpu_msm.py) can run: BMTPU_TPU_TESTS=1 BMTPU_SLOW=1 pytest ...
+_TPU_TESTS = os.environ.get("BMTPU_TPU_TESTS") == "1"
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: the big prover graphs compile once, then every
 # later pytest invocation reuses them.
 from blockmaze_tpu.utils.cachedirs import setup_caches

@@ -75,6 +75,29 @@ def test_sharded_msm_8dev(rng):
     assert got == _host_msm(pts, scalars)
 
 
+def test_sharded_msm_blinded_8dev(rng):
+    """The bspec branch of parallel.mesh.sharded_msm (r4 advisor: untested):
+    replicated blind point + all-gathered per-device weights. On the CPU
+    mesh msm_auto dispatches to the compact kernel, which needs no blinding
+    and reports zero weights — the collective structure (blind in_specs,
+    (n_dev, W) weight gather, unblind_msm summation) is still exercised."""
+    mesh = pmesh.make_mesh(8)
+    n = 8 * 3
+    pts, scalars, dev = _instance(rng, n)
+    R_host, (bx, by) = pp.make_blind("g1")
+    res = pmesh.sharded_msm(mesh, "g1", dev,
+                            jnp.asarray(pp.scalars_to_device(scalars)),
+                            c=8, lanes=4,
+                            blind=(jnp.asarray(bx), jnp.asarray(by)))
+    assert len(res) == 4
+    wts = np.asarray(res[3])
+    assert wts.shape[0] == 8  # per-device weight rows gathered
+    got = JC.g1_jacobian_to_host(tuple(np.asarray(r)[None]
+                                       for r in res[:3]))[0]
+    got = pp.unblind_msm("g1", got, wts, R_host, 8)
+    assert got == _host_msm(pts, scalars)
+
+
 def test_sharded_field_inner_sum(rng):
     from blockmaze_tpu.fields import jfield as jf
     mesh = pmesh.make_mesh(8)
